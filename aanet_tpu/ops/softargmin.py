@@ -1,0 +1,30 @@
+"""Soft-argmin disparity estimation.
+
+Reference `/root/reference/nets/estimation.py:13-30`: softmax over the
+disparity axis, then the expectation against candidates 0..D-1. When the
+input is a matching *cost* (not a similarity) it is negated first.
+
+Ours keeps D on the minor (lane) axis — softmax + expectation reduce over
+lanes and fuse into one VPU pass under XLA.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def soft_argmin(cost: jax.Array, match_similarity: bool = True) -> jax.Array:
+    """Expected disparity under softmax(cost).
+
+    Args:
+      cost: [B, H, W, D] similarity (or cost, if match_similarity=False).
+    Returns:
+      disparity [B, H, W], same dtype as input.
+    """
+    assert cost.ndim == 4
+    d = cost.shape[-1]
+    logits = cost if match_similarity else -cost
+    prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    candidates = jnp.arange(d, dtype=jnp.float32)
+    disp = jnp.sum(prob * candidates, axis=-1)
+    return disp.astype(cost.dtype)
