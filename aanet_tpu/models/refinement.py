@@ -1,0 +1,135 @@
+"""Disparity refinement modules (reference nets/refinement.py).
+
+All three upsample the incoming low-res disparity to the (possibly
+downscaled) image resolution with the upsample-x-rescale rule, then
+predict a residual and clamp at zero with relu.
+"""
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from aanet_tpu.models.layers import (
+    BasicBlock,
+    BasicConv,
+    Conv,
+    Conv2x,
+    DeformConv2dLayer,
+    Norm,
+    leaky_relu,
+)
+from aanet_tpu.ops.resize import resize_bilinear
+from aanet_tpu.ops.warp import disp_warp
+
+_DILATIONS = (1, 2, 4, 8, 1, 1)
+
+
+def _upsample_to_img(low_disp, img):
+    """[B, h, w] -> [B, H, W, 1] scaled by W/w (nets/refinement.py:43-47)."""
+    h, w = img.shape[1:3]
+    scale = w / low_disp.shape[2]
+    disp = low_disp
+    if scale != 1.0:
+        disp = resize_bilinear(low_disp, (h, w)) * scale
+    return disp[..., None]
+
+
+class StereoNetRefinement(nn.Module):
+    """Edge-aware residual refine on [disp, left] (nets/refinement.py:18-57)."""
+
+    @nn.compact
+    def __call__(self, low_disp, left_img, right_img=None, train: bool = False):
+        assert low_disp.ndim == 3
+        disp = _upsample_to_img(low_disp, left_img)
+        x = jnp.concatenate([disp, left_img], axis=-1)
+        x = Conv(32, 3, 1, 1)(x)
+        x = Norm()(x, train)
+        x = leaky_relu(x)
+        for d in _DILATIONS:
+            x = BasicBlock(32, dilation=d, leaky=True)(x, train)
+        residual = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True)(x)
+        disp = nn.relu(disp + residual)
+        return disp[..., 0]
+
+
+class StereoDRNetRefinement(nn.Module):
+    """Warp-error-driven refinement (nets/refinement.py:60-106)."""
+
+    @nn.compact
+    def __call__(self, low_disp, left_img, right_img, train: bool = False):
+        assert low_disp.ndim == 3
+        disp = _upsample_to_img(low_disp, left_img)
+        warped_right = disp_warp(right_img, disp[..., 0])[0]
+        error = warped_right - left_img
+
+        concat1 = jnp.concatenate([error, left_img], axis=-1)  # 6ch
+        conv1 = Conv(16, 3, 1, 1)(concat1)
+        conv1 = Norm()(conv1, train)
+        conv1 = leaky_relu(conv1)
+        conv2 = Conv(16, 3, 1, 1)(disp)
+        conv2 = Norm()(conv2, train)
+        conv2 = leaky_relu(conv2)
+        x = jnp.concatenate([conv1, conv2], axis=-1)  # 32ch
+        for d in _DILATIONS:
+            x = BasicBlock(32, dilation=d, leaky=True)(x, train)
+        residual = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True)(x)
+        disp = nn.relu(disp + residual)
+        return disp[..., 0]
+
+
+class HourglassRefinement(nn.Module):
+    """Deformable hourglass refinement (AANet+, nets/refinement.py:109-202).
+    Spatial size must be divisible by 16."""
+
+    @nn.compact
+    def __call__(self, low_disp, left_img, right_img, train: bool = False):
+        assert low_disp.ndim == 3
+        disp = _upsample_to_img(low_disp, left_img)
+        warped_right = disp_warp(right_img, disp[..., 0])[0]
+        error = warped_right - left_img
+
+        concat1 = jnp.concatenate([error, left_img], axis=-1)
+        conv1 = Conv(16, 3, 1, 1)(concat1)
+        conv1 = Norm()(conv1, train)
+        conv1 = leaky_relu(conv1)
+        conv2 = Conv(16, 3, 1, 1)(disp)
+        conv2 = Norm()(conv2, train)
+        conv2 = leaky_relu(conv2)
+        x = jnp.concatenate([conv1, conv2], axis=-1)  # 32ch
+
+        x = DeformConv2dLayer(32)(x)
+        rem0 = x
+        x = BasicConv(48, 3, 2, 1)(x, train)
+        rem1 = x
+        x = BasicConv(64, 3, 2, 1)(x, train)
+        rem2 = x
+        x = DeformConv2dLayer(96, stride=2)(x)
+        rem3 = x
+        x = DeformConv2dLayer(128, stride=2)(x)
+        rem4 = x
+
+        x = Conv2x(96, deconv=True)(x, rem3, train)
+        rem3 = x
+        x = Conv2x(64, deconv=True)(x, rem2, train)
+        rem2 = x
+        x = Conv2x(48, deconv=True)(x, rem1, train)
+        rem1 = x
+        x = Conv2x(32, deconv=True)(x, rem0, train)
+        rem0 = x
+
+        x = Conv2x(48)(x, rem1, train)
+        rem1 = x
+        x = Conv2x(64)(x, rem2, train)
+        rem2 = x
+        x = Conv2x(96, mdconv=True)(x, rem3, train)
+        rem3 = x
+        x = Conv2x(128, mdconv=True)(x, rem4, train)
+
+        x = Conv2x(96, deconv=True)(x, rem3, train)
+        x = Conv2x(64, deconv=True)(x, rem2, train)
+        x = Conv2x(48, deconv=True)(x, rem1, train)
+        x = Conv2x(32, deconv=True)(x, rem0, train)
+
+        residual = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True)(x)
+        disp = nn.relu(disp + residual)
+        return disp[..., 0]

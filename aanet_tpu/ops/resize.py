@@ -88,6 +88,26 @@ def resize_nearest(x: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     return x[..., 0] if squeeze else x
 
 
+def resize_trilinear(x: jax.Array, out_dhw: tuple[int, int, int]) -> jax.Array:
+    """Trilinear resize of a [B, D, H, W, C] volume (torch semantics,
+    align_corners=False, no antialias) — PSMNet cost upsampling."""
+    if x.ndim != 5:
+        raise ValueError(f"expected rank 5, got {x.ndim}")
+    b, d, h, w, c = x.shape
+    od, oh, ow = out_dhw
+    if (d, h, w) == (od, oh, ow):
+        return x
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    wd = jnp.asarray(_linear_weights(d, od))
+    wh = jnp.asarray(_linear_weights(h, oh))
+    ww = jnp.asarray(_linear_weights(w, ow))
+    x = jnp.einsum("id,bdhwc->bihwc", wd, x, preferred_element_type=jnp.float32)
+    x = jnp.einsum("jh,bdhwc->bdjwc", wh, x, preferred_element_type=jnp.float32)
+    x = jnp.einsum("kw,bdhwc->bdhkc", ww, x, preferred_element_type=jnp.float32)
+    return x.astype(dtype)
+
+
 def upsample_disparity(disp: jax.Array, out_hw: tuple[int, int]) -> jax.Array:
     """Bilinear-upsample a disparity map and rescale its values.
 
