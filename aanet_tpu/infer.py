@@ -1,0 +1,201 @@
+"""Inference / prediction workflows.
+
+Parity with the reference entry points:
+  * run_inference — batch inference over a dataset split with the
+    pad-to-(H,W)-then-crop protocol, optional timing mode with warmup,
+    and png/pfm/npy saving for KITTI submission
+    (`/root/reference/inference.py:80-206`).
+  * predict_pairs — inference on arbitrary rectified pairs in a
+    directory (`left/*.png` + `right/`), auto-padded to a multiple of 48
+    (96 when the hourglass refinement is active)
+    (`/root/reference/predict.py:72-199`).
+
+TPU note: each distinct padded shape triggers one XLA compilation, so
+inference pads every image up to ONE canonical (img_height, img_width) —
+exactly the reference's protocol — and predict pads per-directory to the
+common auto-derived size.
+"""
+from __future__ import annotations
+
+import glob
+import json
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from aanet_tpu.config import Config
+from aanet_tpu.data.datasets import StereoDataset
+from aanet_tpu.data.file_io import read_img, write_pfm
+from aanet_tpu.data.pipeline import make_val_loader
+from aanet_tpu.data.transforms import IMAGENET_MEAN, IMAGENET_STD, test_transform
+from aanet_tpu.ops.resize import upsample_disparity
+from aanet_tpu.utils.checkpoint import load_pretrained_params
+from aanet_tpu.utils.logging_util import get_logger
+
+
+def _pad_top_right(arr: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Zero-pad [B, H, W, C] (or [B,H,W]) to (h, w): TOP and RIGHT pads
+    (reference inference.py:155-162)."""
+    top = h - arr.shape[1]
+    right = w - arr.shape[2]
+    assert top >= 0 and right >= 0, (arr.shape, h, w)
+    pads = [(0, 0), (top, 0), (0, right)] + [(0, 0)] * (arr.ndim - 3)
+    return np.pad(arr, pads)
+
+
+def build_forward(model, variables):
+    @jax.jit
+    def forward(left, right):
+        pyramid = model.apply(variables, left, right, train=False)
+        return pyramid[-1]
+
+    return forward
+
+
+def init_variables(model, pretrained: Optional[str] = None, strict: bool = False):
+    init = jax.jit(lambda r, a, b: model.init(r, a, b, train=False))
+    small = jnp.zeros((1, 96, 96, 3), jnp.float32)
+    variables = init(jax.random.PRNGKey(0), small, small)
+    variables = jax.device_get(variables)
+    if pretrained:
+        params, bs = load_pretrained_params(
+            pretrained,
+            variables["params"],
+            variables.get("batch_stats", {}),
+            strict=strict,
+        )
+        variables = {"params": params, "batch_stats": bs}
+    return variables
+
+
+def _save_disp(disp: np.ndarray, save_name: str, save_type: str, visualize: bool):
+    os.makedirs(os.path.dirname(save_name) or ".", exist_ok=True)
+    if save_type == "pfm":
+        if visualize:
+            Image.fromarray((disp * 256.0).astype(np.uint16)).save(save_name)
+        write_pfm(save_name[:-3] + "pfm", disp.astype(np.float32))
+    elif save_type == "npy":
+        np.save(save_name[:-3] + "npy", disp)
+    else:  # KITTI submission png: uint16 x256
+        Image.fromarray((disp * 256.0).astype(np.uint16)).save(save_name)
+
+
+def run_inference(
+    cfg: Config,
+    output_dir: str,
+    save_type: str = "png",
+    visualize: bool = False,
+    count_time: bool = False,
+    num_images: int = 100,
+    logger=None,
+) -> Optional[float]:
+    """Returns mean per-image forward seconds when count_time, else None."""
+    logger = logger or get_logger()
+    d = cfg.data
+    model = cfg.model.build()
+    variables = init_variables(
+        model, cfg.train.pretrained, strict=cfg.train.strict_load
+    )
+    forward = build_forward(model, variables)
+
+    ds = StereoDataset(
+        d.data_dir,
+        dataset_name=d.dataset_name,
+        mode="test",
+        split_preset=d.split_preset,
+        filename_root=d.filename_root,
+        transform=test_transform(),
+    )
+    logger.info(f"{len(ds)} samples found in the test set")
+    loader = make_val_loader(ds, d.batch_size, num_workers=d.num_workers)
+
+    inference_time = 0.0
+    num_imgs = 0
+    for i, batch in enumerate(loader):
+        if count_time and num_imgs >= num_images:
+            break
+        left, right = batch["left"], batch["right"]
+        ori_h, ori_w = left.shape[1:3]
+        top = max(0, d.img_height - ori_h)
+        rightp = max(0, d.img_width - ori_w)
+        if top or rightp:
+            left = _pad_top_right(left, d.img_height, d.img_width)
+            right = _pad_top_right(right, d.img_height, d.img_width)
+
+        lj, rj = jnp.asarray(left), jnp.asarray(right)
+        if i == 0 and count_time:
+            for _ in range(10):  # warmup (inference.py:164-168)
+                jax.block_until_ready(forward(lj, rj))
+        num_imgs += left.shape[0]
+        t0 = time.perf_counter()
+        pred = forward(lj, rj)
+        jax.block_until_ready(pred)
+        inference_time += time.perf_counter() - t0
+
+        pred = np.asarray(pred)
+        if pred.shape[2] < left.shape[2]:
+            pred = np.asarray(
+                upsample_disparity(jnp.asarray(pred), left.shape[1:3])
+            )
+        if top or rightp:
+            pred = pred[:, top:, : pred.shape[2] - rightp if rightp else None]
+        if not count_time:
+            for b in range(pred.shape[0]):
+                name = os.path.join(output_dir, batch["left_name"][b])
+                _save_disp(pred[b], name, save_type, visualize)
+
+    mean_s = inference_time / max(1, num_imgs)
+    logger.info(f"mean inference time for {num_imgs} images: {mean_s:.4f}s")
+    return mean_s if count_time else None
+
+
+def predict_pairs(
+    cfg: Config,
+    data_dir: str,
+    output_dir: Optional[str] = None,
+    save_type: str = "png",
+    visualize: bool = False,
+    logger=None,
+):
+    """Run on {data_dir}/left/*.png + {data_dir}/right/*.png pairs."""
+    logger = logger or get_logger()
+    model = cfg.model.build()
+    variables = init_variables(
+        model, cfg.train.pretrained, strict=cfg.train.strict_load
+    )
+    forward = build_forward(model, variables)
+
+    lefts = sorted(
+        glob.glob(os.path.join(data_dir, "left", "*.png"))
+        + glob.glob(os.path.join(data_dir, "left", "*.jpg"))
+    )
+    assert lefts, f"no images under {data_dir}/left"
+    output_dir = output_dir or os.path.join(data_dir, "pred")
+    os.makedirs(output_dir, exist_ok=True)
+
+    mean = np.asarray(IMAGENET_MEAN, np.float32)
+    std = np.asarray(IMAGENET_STD, np.float32)
+    # pad multiple: 48; 96 when hourglass refinement (predict.py:148-151)
+    factor = 96 if cfg.model.refinement_type == "hourglass" else 48
+
+    for lp in lefts:
+        rp = os.path.join(data_dir, "right", os.path.basename(lp))
+        left = read_img(lp) / 255.0
+        right = read_img(rp) / 255.0
+        left = (left - mean) / std
+        right = (right - mean) / std
+        ori_h, ori_w = left.shape[:2]
+        ph = ((ori_h + factor - 1) // factor) * factor
+        pw = ((ori_w + factor - 1) // factor) * factor
+        lb = _pad_top_right(left[None], ph, pw)
+        rb = _pad_top_right(right[None], ph, pw)
+        pred = np.asarray(forward(jnp.asarray(lb), jnp.asarray(rb)))[0]
+        pred = pred[ph - ori_h :, : ori_w if pw == ori_w else ori_w]
+        name = os.path.join(output_dir, os.path.basename(lp))
+        _save_disp(pred, name, save_type, visualize)
+        logger.info(f"saved {name}")
