@@ -32,6 +32,9 @@ class ModelConfig:
     refinement_type: Optional[str] = "stereodrnet"
     mdconv_dilation: int = 2
     deformable_groups: int = 2
+    # compute dtype for the whole network ('float32' | 'bfloat16'); params
+    # and BN statistics always stay float32 (mixed precision)
+    dtype: Optional[str] = None
 
     def build(self):
         from aanet_tpu.models import AANet

@@ -49,10 +49,12 @@ def _pad_top_right(arr: np.ndarray, h: int, w: int) -> np.ndarray:
 
 
 def build_forward(model, variables):
-    @jax.jit
+    # Parameters are jit ARGUMENTS (closure-captured arrays become baked-in
+    # constants: pathological compile time and >100x slower programs).
+    fwd = jax.jit(lambda v, l, r: model.apply(v, l, r, train=False)[-1])
+
     def forward(left, right):
-        pyramid = model.apply(variables, left, right, train=False)
-        return pyramid[-1]
+        return fwd(variables, left, right)
 
     return forward
 

@@ -21,6 +21,7 @@ from aanet_tpu.models import feature as F
 from aanet_tpu.models import aggregation as A
 from aanet_tpu.models import refinement as R
 from aanet_tpu.ops.cost_volume import cost_volume, cost_volume_pyramid
+from aanet_tpu.ops.precision import canonical_dtype, precision
 from aanet_tpu.ops.resize import resize_bilinear
 from aanet_tpu.ops.softargmin import soft_argmin
 
@@ -49,6 +50,7 @@ class AANet(nn.Module):
     refinement_type: Optional[str] = "stereodrnet"
     mdconv_dilation: int = 2
     deformable_groups: int = 2
+    dtype: Optional[str] = None  # compute dtype; params stay f32
 
     def _scaled_max_disp(self) -> int:
         """Per-extractor max_disp division (nets/aanet.py:43-61)."""
@@ -183,12 +185,22 @@ class AANet(nn.Module):
         return pyramid
 
     def __call__(self, left_img, right_img, train: bool = False):
-        left_feature = self.feature_extraction(left_img, train)
-        right_feature = self.feature_extraction(right_img, train)
-        vols = self.cost_volume_construction(left_feature, right_feature)
-        aggregation = self.aggregation(vols, train)
-        disparity_pyramid = self.disparity_computation(aggregation)
-        disparity_pyramid += self.disparity_refinement(
-            left_img, right_img, disparity_pyramid[-1], train
-        )
+        # Install the compute dtype for this trace; the final disparity is
+        # always returned in f32 (soft-argmin/refinement upcast internally).
+        dt = canonical_dtype(self.dtype)
+        with precision(dt):
+            if dt is not None:
+                left_img = left_img.astype(dt)
+                right_img = right_img.astype(dt)
+            left_feature = self.feature_extraction(left_img, train)
+            right_feature = self.feature_extraction(right_img, train)
+            vols = self.cost_volume_construction(left_feature, right_feature)
+            aggregation = self.aggregation(vols, train)
+            disparity_pyramid = self.disparity_computation(aggregation)
+            disparity_pyramid += self.disparity_refinement(
+                left_img, right_img, disparity_pyramid[-1], train
+            )
+            disparity_pyramid = [
+                d.astype(jnp.float32) for d in disparity_pyramid
+            ]
         return disparity_pyramid

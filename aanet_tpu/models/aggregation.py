@@ -25,6 +25,7 @@ from aanet_tpu.models.layers import (
     SimpleBottleneck,
     leaky_relu,
 )
+from aanet_tpu.ops.precision import compute_dtype
 from aanet_tpu.ops.resize import resize_bilinear, resize_trilinear
 
 
@@ -129,7 +130,13 @@ class AdaptiveAggregation(nn.Module):
         for i in range(self.num_scales):
             d_i = self.max_disp // (2**i)
             out.append(
-                nn.Conv(d_i, (1, 1), use_bias=True, name=f"final_conv_{i}")(x[i])
+                nn.Conv(
+                    d_i,
+                    (1, 1),
+                    use_bias=True,
+                    dtype=compute_dtype(),
+                    name=f"final_conv_{i}",
+                )(x[i])
             )
             if not self.intermediate_supervision:
                 break

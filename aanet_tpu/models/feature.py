@@ -29,6 +29,7 @@ from aanet_tpu.models.layers import (
     leaky_relu,
     xavier_uniform,
 )
+from aanet_tpu.ops.precision import compute_dtype
 from aanet_tpu.ops.resize import resize_bilinear, resize_nearest
 
 
@@ -246,6 +247,7 @@ class FeaturePyramidNetwork(nn.Module):
                 (1, 1),
                 use_bias=True,
                 kernel_init=xavier_uniform,
+                dtype=compute_dtype(),
                 name=f"lateral_{i}",
             )(inputs[i])
             for i in range(self.num_levels)
@@ -263,6 +265,7 @@ class FeaturePyramidNetwork(nn.Module):
                 padding=[(1, 1), (1, 1)],
                 use_bias=True,
                 kernel_init=xavier_uniform,
+                dtype=compute_dtype(),
                 name=f"fpn_{i}",
             )(laterals[i])
             y = Norm()(y, train)

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from aanet_tpu.ops.deform import modulated_deform_conv2d, deform_conv2d
+from aanet_tpu.ops.precision import compute_dtype
 
 # Kaiming-normal fan-out (the reference backbone's init, nets/resnet.py:138).
 kaiming_out = nn.initializers.variance_scaling(2.0, "fan_out", "normal")
@@ -63,6 +64,7 @@ class Conv(nn.Module):
             feature_group_count=self.groups,
             use_bias=self.use_bias,
             kernel_init=self.kernel_init,
+            dtype=compute_dtype(),
         )(x)
 
 
@@ -98,6 +100,7 @@ class ConvTranspose(nn.Module):
             input_dilation=st,
             use_bias=self.use_bias,
             kernel_init=self.kernel_init,
+            dtype=compute_dtype(),
         )(x)
 
 
@@ -107,7 +110,10 @@ class Norm(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool):
         return nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=compute_dtype(),
         )(x)
 
 
@@ -122,6 +128,7 @@ class ZeroNorm(nn.Module):
             momentum=0.9,
             epsilon=1e-5,
             scale_init=nn.initializers.zeros,
+            dtype=compute_dtype(),
         )(x)
 
 
@@ -199,6 +206,7 @@ class DeformConv2dLayer(nn.Module):
             use_bias=True,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
+            dtype=compute_dtype(),
             name="offset_conv",
         )(x)
 

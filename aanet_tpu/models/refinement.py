@@ -18,6 +18,7 @@ from aanet_tpu.models.layers import (
     Norm,
     leaky_relu,
 )
+from aanet_tpu.ops.precision import compute_dtype
 from aanet_tpu.ops.resize import resize_bilinear
 from aanet_tpu.ops.warp import disp_warp
 
@@ -47,7 +48,10 @@ class StereoNetRefinement(nn.Module):
         x = leaky_relu(x)
         for d in _DILATIONS:
             x = BasicBlock(32, dilation=d, leaky=True)(x, train)
-        residual = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True)(x)
+        residual = nn.Conv(
+            1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
+            dtype=compute_dtype(),
+        )(x)
         disp = nn.relu(disp + residual)
         return disp[..., 0]
 
@@ -72,7 +76,10 @@ class StereoDRNetRefinement(nn.Module):
         x = jnp.concatenate([conv1, conv2], axis=-1)  # 32ch
         for d in _DILATIONS:
             x = BasicBlock(32, dilation=d, leaky=True)(x, train)
-        residual = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True)(x)
+        residual = nn.Conv(
+            1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
+            dtype=compute_dtype(),
+        )(x)
         disp = nn.relu(disp + residual)
         return disp[..., 0]
 
@@ -130,6 +137,9 @@ class HourglassRefinement(nn.Module):
         x = Conv2x(48, deconv=True)(x, rem1, train)
         x = Conv2x(32, deconv=True)(x, rem0, train)
 
-        residual = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True)(x)
+        residual = nn.Conv(
+            1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
+            dtype=compute_dtype(),
+        )(x)
         disp = nn.relu(disp + residual)
         return disp[..., 0]

@@ -45,13 +45,15 @@ def _bilinear_gather_grouped(
     """
     b, ho, wo, g = py.shape
     cg = x_flat.shape[-1]
+    vdtype = x_flat.dtype  # gather + blend in the compute dtype (bf16-safe:
+    # only the *values* are low precision; coordinates stay f32)
 
     y0 = jnp.floor(py)
     x0 = jnp.floor(px)
     ty = py - y0
     tx = px - x0
 
-    out = jnp.zeros((b, ho, wo, g, cg), dtype=jnp.float32)
+    out = jnp.zeros((b, ho, wo, g, cg), dtype=vdtype)
     for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
         yy = y0 + dy
         xx = x0 + dx
@@ -62,7 +64,7 @@ def _bilinear_gather_grouped(
         flat_idx = (yi * w + xi).reshape(b, ho * wo, g, 1)
         vals = jnp.take_along_axis(x_flat, flat_idx, axis=1)
         vals = vals.reshape(b, ho, wo, g, cg)
-        wgt = jnp.where(inb, wgt, 0.0)
+        wgt = jnp.where(inb, wgt, 0.0).astype(vdtype)
         out = out + vals * wgt[..., None]
     return out
 
@@ -101,15 +103,18 @@ def modulated_deform_conv2d(
     ho = _out_size(h, kh, stride, padding, dilation)
     wo = _out_size(w, kw, stride, padding, dilation)
 
+    vdtype = x.dtype
+    # Sample COORDINATES always in f32 (bf16's 8-bit mantissa would quantise
+    # positions by up to ~1px at W~1000); sampled VALUES in the compute dtype.
     offset = offset.reshape(b, ho, wo, g, k2, 2).astype(jnp.float32)
     if mask is not None:
-        mask = mask.reshape(b, ho, wo, g, k2).astype(jnp.float32)
+        mask = mask.reshape(b, ho, wo, g, k2).astype(vdtype)
 
     base_y = (jnp.arange(ho, dtype=jnp.float32) * stride - padding)[:, None]
     base_x = (jnp.arange(wo, dtype=jnp.float32) * stride - padding)[None, :]
 
-    x_flat = x.reshape(b, h * w, g, cg).astype(jnp.float32)
-    w_taps = weight.reshape(k2, g, cg, cout).astype(jnp.float32)
+    x_flat = x.reshape(b, h * w, g, cg)
+    w_taps = weight.reshape(k2, g, cg, cout).astype(vdtype)
 
     out = jnp.zeros((b, ho, wo, cout), dtype=jnp.float32)
     for k in range(k2):
@@ -124,7 +129,7 @@ def modulated_deform_conv2d(
         )
     if bias is not None:
         out = out + bias.astype(jnp.float32)
-    return out.astype(x.dtype)
+    return out.astype(vdtype)
 
 
 def deform_conv2d(

@@ -19,12 +19,12 @@ def soft_argmin(cost: jax.Array, match_similarity: bool = True) -> jax.Array:
     Args:
       cost: [B, H, W, D] similarity (or cost, if match_similarity=False).
     Returns:
-      disparity [B, H, W], same dtype as input.
+      disparity [B, H, W], float32. (Always f32 — under a bf16 compute
+      policy a bf16 disparity would quantise values near D=192 by ~0.75px.)
     """
     assert cost.ndim == 4
     d = cost.shape[-1]
     logits = cost if match_similarity else -cost
     prob = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
     candidates = jnp.arange(d, dtype=jnp.float32)
-    disp = jnp.sum(prob * candidates, axis=-1)
-    return disp.astype(cost.dtype)
+    return jnp.sum(prob * candidates, axis=-1)

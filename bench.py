@@ -39,9 +39,13 @@ def main():
     init = jax.jit(lambda r, a, b: model.init(r, a, b, train=False))
     variables = init(rng, small, small)
 
-    @jax.jit
+    # Parameters MUST be jit *arguments*, not closure captures: captured
+    # arrays are baked into the program as constants, which bloats
+    # compilation (~20 min) and slows the compiled program >100x.
+    fwd = jax.jit(lambda v, l, r: model.apply(v, l, r, train=False)[-1])
+
     def forward(left, right):
-        return model.apply(variables, left, right, train=False)[-1]
+        return fwd(variables, left, right)
 
     h, w = 384, 1248
     rs = np.random.RandomState(0)

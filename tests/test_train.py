@@ -103,12 +103,16 @@ def test_lr_at_epoch_multistep():
 
 
 def _tiny_model():
+    # Smallest config that still exercises the deformable ISA path in
+    # training (num_deform_blocks=1); the backbone's deform bottlenecks are
+    # disabled to keep the CPU compile of fwd+bwd tractable on small boxes.
     return AANet(
         max_disp=24,
         feature_type="aanet",
         feature_pyramid_network=True,
-        num_fusions=2,
+        num_fusions=1,
         num_deform_blocks=1,
+        no_feature_mdconv=True,
         refinement_type="stereodrnet",
     )
 
@@ -133,7 +137,7 @@ def test_train_step_overfits_synthetic_pair_on_mesh():
     assert mesh.devices.size == 8
 
     tx_probe = optax.identity()
-    state0 = create_train_state(model, jax.random.PRNGKey(0), (48, 96), tx_probe)
+    state0 = create_train_state(model, jax.random.PRNGKey(0), (32, 64), tx_probe)
     tx = make_optimizer(state0.params, 1e-3, weight_decay=0.0)
     state = TrainState.create(
         apply_fn=model.apply,
@@ -144,10 +148,10 @@ def test_train_step_overfits_synthetic_pair_on_mesh():
     state = replicate(state, mesh)
 
     step = make_train_step(model, max_disp=24, accumulation_steps=2)
-    batch = shard_batch(_synthetic_batch(batch=8), mesh)
+    batch = shard_batch(_synthetic_batch(batch=8, h=32, w=64), mesh)
 
     losses = []
-    for i in range(25):
+    for i in range(20):
         state, metrics = step(state, batch)
         losses.append(float(metrics["total_loss"]))
     assert np.isfinite(losses).all()
