@@ -6,6 +6,11 @@ Format behaviours follow the reference (`utils/file_io.py`):
     in the scale line; 'subset' variants store negated values)
   * KITTI disparity png: uint16 / 256.0
   * npy passthrough
+
+The hot decode path (PNG/PFM) goes through the native C++ library
+(`_native/loader.cpp`, ctypes-bridged by `native_io.py`) when present —
+it releases the GIL so the loader thread pool decodes in parallel — and
+falls back to PIL/numpy per file otherwise.
 """
 from __future__ import annotations
 
@@ -15,9 +20,14 @@ import sys
 import numpy as np
 from PIL import Image
 
+from aanet_tpu.data import native_io
+
 
 def read_img(filename: str) -> np.ndarray:
     """[H, W, 3] float32 RGB."""
+    native = native_io.decode(filename)
+    if native is not None and native.ndim == 3 and native.shape[-1] == 3:
+        return native
     return np.array(Image.open(filename).convert("RGB"), dtype=np.float32)
 
 
@@ -67,6 +77,9 @@ def write_pfm(filename: str, image: np.ndarray, scale: float = 1.0) -> None:
 
 def read_kitti_disp(filename: str) -> np.ndarray:
     """KITTI uint16 png / 256 -> float32 disparity (0 == invalid)."""
+    native = native_io.decode(filename)
+    if native is not None and native.ndim == 2:
+        return native / 256.0
     depth = np.array(Image.open(filename))
     return depth.astype(np.float32) / 256.0
 
@@ -74,7 +87,9 @@ def read_kitti_disp(filename: str) -> np.ndarray:
 def read_disp(filename: str, subset: bool = False) -> np.ndarray:
     """[H, W] float32 disparity; dispatch on extension."""
     if filename.endswith("pfm"):
-        disp = np.ascontiguousarray(read_pfm(filename)[0])
+        disp = native_io.decode(filename)
+        if disp is None or disp.ndim != 2:
+            disp = np.ascontiguousarray(read_pfm(filename)[0])
         if subset:
             disp = -disp
         return disp
