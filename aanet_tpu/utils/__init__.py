@@ -1,4 +1,4 @@
-"""Cross-cutting utilities: checkpointing, logging, summaries."""
+"""Cross-cutting utilities: checkpointing, logging, summaries, profiling."""
 
 from aanet_tpu.utils.checkpoint import (
     save_checkpoint,
