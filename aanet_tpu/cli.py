@@ -55,6 +55,9 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--refinement_type", default=None)
     p.add_argument("--mdconv_dilation", type=int, default=None)
     p.add_argument("--deformable_groups", type=int, default=None)
+    p.add_argument("--no_remat", action="store_true",
+                   help="keep all training activations live (more HBM, "
+                   "slightly faster step when memory allows)")
 
 
 def _add_data_args(p: argparse.ArgumentParser):
@@ -100,6 +103,8 @@ def build_config(args) -> Config:
         v = getattr(args, f.name, None)
         if v is not None and not (isinstance(v, bool) and not v):
             setattr(model, f.name, v)
+    if getattr(args, "no_remat", False):
+        model.remat = False
 
     data = DataConfig()
     for f in dataclasses.fields(DataConfig):

@@ -35,6 +35,9 @@ class ModelConfig:
     # compute dtype for the whole network ('float32' | 'bfloat16'); params
     # and BN statistics always stay float32 (mixed precision)
     dtype: Optional[str] = None
+    # stage-granular activation rematerialisation during training (large
+    # batches OOM without it); inference is unaffected
+    remat: bool = True
 
     def build(self):
         from aanet_tpu.models import AANet

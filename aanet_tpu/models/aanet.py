@@ -51,6 +51,13 @@ class AANet(nn.Module):
     mdconv_dilation: int = 2
     deformable_groups: int = 2
     dtype: Optional[str] = None  # compute dtype; params stay f32
+    # Stage-granular rematerialisation for training: without it the
+    # backward pass keeps every activation live and a 16-sample 288x576
+    # batch needs ~60 GB of HBM (the full-res refinement blocks alone hold
+    # seventeen 1.3 GB padded buffers). With remat only stage inputs are
+    # saved and each stage is recomputed during its backward sweep.
+    # Inference (train=False) is unaffected.
+    remat: bool = True
 
     def _scaled_max_disp(self) -> int:
         """Per-extractor max_disp division (nets/aanet.py:43-61)."""
@@ -122,7 +129,9 @@ class AANet(nn.Module):
             }
             if rt not in mods:
                 raise NotImplementedError(rt)
-            self.refinement = [mods[rt]() for _ in range(self.num_downsample)]
+            self.refinement = [
+                mods[rt](remat=self.remat) for _ in range(self.num_downsample)
+            ]
         else:
             self.refinement = None
 
@@ -188,18 +197,38 @@ class AANet(nn.Module):
         # Install the compute dtype for this trace; the final disparity is
         # always returned in f32 (soft-argmin/refinement upcast internally).
         dt = canonical_dtype(self.dtype)
+        use_remat = self.remat and train
+        if use_remat:
+            feat_fn = nn.remat(
+                lambda m, x: AANet.feature_extraction(m, x, True)
+            )
+            agg_fn = nn.remat(lambda m, v: m.aggregation(v, True))
+            refine_fn = nn.remat(
+                lambda m, l, r, d: AANet.disparity_refinement(m, l, r, d, True)
+            )
         with precision(dt):
             if dt is not None:
                 left_img = left_img.astype(dt)
                 right_img = right_img.astype(dt)
-            left_feature = self.feature_extraction(left_img, train)
-            right_feature = self.feature_extraction(right_img, train)
+            if use_remat:
+                left_feature = feat_fn(self, left_img)
+                right_feature = feat_fn(self, right_img)
+            else:
+                left_feature = self.feature_extraction(left_img, train)
+                right_feature = self.feature_extraction(right_img, train)
             vols = self.cost_volume_construction(left_feature, right_feature)
-            aggregation = self.aggregation(vols, train)
-            disparity_pyramid = self.disparity_computation(aggregation)
-            disparity_pyramid += self.disparity_refinement(
-                left_img, right_img, disparity_pyramid[-1], train
+            aggregation = (
+                agg_fn(self, vols) if use_remat else self.aggregation(vols, train)
             )
+            disparity_pyramid = self.disparity_computation(aggregation)
+            if use_remat and self.refinement is not None:
+                disparity_pyramid += refine_fn(
+                    self, left_img, right_img, disparity_pyramid[-1]
+                )
+            else:
+                disparity_pyramid += self.disparity_refinement(
+                    left_img, right_img, disparity_pyramid[-1], train
+                )
             disparity_pyramid = [
                 d.astype(jnp.float32) for d in disparity_pyramid
             ]

@@ -25,6 +25,24 @@ from aanet_tpu.ops.warp import disp_warp
 _DILATIONS = (1, 2, 4, 8, 1, 1)
 
 
+def _block_apply(mod, use_remat: bool, train: bool, *args):
+    """Apply a submodule, optionally under per-block rematerialisation.
+
+    Refinement runs at (up to) full image resolution where a 32-channel
+    f32 activation pads 4x on the 128-lane axis — without block-level
+    remat the stage backward holds one padded buffer per block and OOMs
+    16 GB HBM at production batch sizes.
+    """
+    if use_remat and train:
+        n = len(args)
+        if n == 1:
+            return nn.remat(lambda m, a: m(a, True))(mod, *args)
+        if n == 2:
+            return nn.remat(lambda m, a, b: m(a, b, True))(mod, *args)
+        raise NotImplementedError(n)
+    return mod(*args, train)
+
+
 def _upsample_to_img(low_disp, img):
     """[B, h, w] -> [B, H, W, 1] scaled by W/w (nets/refinement.py:43-47)."""
     h, w = img.shape[1:3]
@@ -38,6 +56,8 @@ def _upsample_to_img(low_disp, img):
 class StereoNetRefinement(nn.Module):
     """Edge-aware residual refine on [disp, left] (nets/refinement.py:18-57)."""
 
+    remat: bool = False
+
     @nn.compact
     def __call__(self, low_disp, left_img, right_img=None, train: bool = False):
         assert low_disp.ndim == 3
@@ -47,7 +67,9 @@ class StereoNetRefinement(nn.Module):
         x = Norm()(x, train)
         x = leaky_relu(x)
         for d in _DILATIONS:
-            x = BasicBlock(32, dilation=d, leaky=True)(x, train)
+            x = _block_apply(
+                BasicBlock(32, dilation=d, leaky=True), self.remat, train, x
+            )
         residual = nn.Conv(
             1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
             dtype=compute_dtype(),
@@ -58,6 +80,8 @@ class StereoNetRefinement(nn.Module):
 
 class StereoDRNetRefinement(nn.Module):
     """Warp-error-driven refinement (nets/refinement.py:60-106)."""
+
+    remat: bool = False
 
     @nn.compact
     def __call__(self, low_disp, left_img, right_img, train: bool = False):
@@ -75,7 +99,9 @@ class StereoDRNetRefinement(nn.Module):
         conv2 = leaky_relu(conv2)
         x = jnp.concatenate([conv1, conv2], axis=-1)  # 32ch
         for d in _DILATIONS:
-            x = BasicBlock(32, dilation=d, leaky=True)(x, train)
+            x = _block_apply(
+                BasicBlock(32, dilation=d, leaky=True), self.remat, train, x
+            )
         residual = nn.Conv(
             1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
             dtype=compute_dtype(),
@@ -87,6 +113,8 @@ class StereoDRNetRefinement(nn.Module):
 class HourglassRefinement(nn.Module):
     """Deformable hourglass refinement (AANet+, nets/refinement.py:109-202).
     Spatial size must be divisible by 16."""
+
+    remat: bool = False
 
     @nn.compact
     def __call__(self, low_disp, left_img, right_img, train: bool = False):
@@ -104,38 +132,41 @@ class HourglassRefinement(nn.Module):
         conv2 = leaky_relu(conv2)
         x = jnp.concatenate([conv1, conv2], axis=-1)  # 32ch
 
+        def blk(mod, *args):
+            return _block_apply(mod, self.remat, train, *args)
+
         x = DeformConv2dLayer(32)(x)
         rem0 = x
-        x = BasicConv(48, 3, 2, 1)(x, train)
+        x = blk(BasicConv(48, 3, 2, 1), x)
         rem1 = x
-        x = BasicConv(64, 3, 2, 1)(x, train)
+        x = blk(BasicConv(64, 3, 2, 1), x)
         rem2 = x
         x = DeformConv2dLayer(96, stride=2)(x)
         rem3 = x
         x = DeformConv2dLayer(128, stride=2)(x)
         rem4 = x
 
-        x = Conv2x(96, deconv=True)(x, rem3, train)
+        x = blk(Conv2x(96, deconv=True), x, rem3)
         rem3 = x
-        x = Conv2x(64, deconv=True)(x, rem2, train)
+        x = blk(Conv2x(64, deconv=True), x, rem2)
         rem2 = x
-        x = Conv2x(48, deconv=True)(x, rem1, train)
+        x = blk(Conv2x(48, deconv=True), x, rem1)
         rem1 = x
-        x = Conv2x(32, deconv=True)(x, rem0, train)
+        x = blk(Conv2x(32, deconv=True), x, rem0)
         rem0 = x
 
-        x = Conv2x(48)(x, rem1, train)
+        x = blk(Conv2x(48), x, rem1)
         rem1 = x
-        x = Conv2x(64)(x, rem2, train)
+        x = blk(Conv2x(64), x, rem2)
         rem2 = x
-        x = Conv2x(96, mdconv=True)(x, rem3, train)
+        x = blk(Conv2x(96, mdconv=True), x, rem3)
         rem3 = x
-        x = Conv2x(128, mdconv=True)(x, rem4, train)
+        x = blk(Conv2x(128, mdconv=True), x, rem4)
 
-        x = Conv2x(96, deconv=True)(x, rem3, train)
-        x = Conv2x(64, deconv=True)(x, rem2, train)
-        x = Conv2x(48, deconv=True)(x, rem1, train)
-        x = Conv2x(32, deconv=True)(x, rem0, train)
+        x = blk(Conv2x(96, deconv=True), x, rem3)
+        x = blk(Conv2x(64, deconv=True), x, rem2)
+        x = blk(Conv2x(48, deconv=True), x, rem1)
+        x = blk(Conv2x(32, deconv=True), x, rem0)
 
         residual = nn.Conv(
             1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
