@@ -55,6 +55,9 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--refinement_type", default=None)
     p.add_argument("--mdconv_dilation", type=int, default=None)
     p.add_argument("--deformable_groups", type=int, default=None)
+    p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"],
+                   help="compute dtype for the network (params/BN stats stay "
+                   "float32); bfloat16 doubles MXU throughput on TPU")
     p.add_argument("--no_remat", action="store_true",
                    help="keep all training activations live (more HBM, "
                    "slightly faster step when memory allows)")

@@ -86,8 +86,6 @@ class TrainConfig:
     no_validate: bool = False
     strict_load: bool = True
     pretrained: Optional[str] = None
-    # numerics
-    compute_dtype: str = "float32"  # or bfloat16 for the compute path
 
 
 @dataclass

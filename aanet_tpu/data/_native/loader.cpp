@@ -62,9 +62,10 @@ int paeth(int a, int b, int c) {
   return c;
 }
 
-// Decodes non-interlaced 8/16-bit gray / 8-bit RGB(A) / gray+alpha PNGs.
-// Returns float32 pixels: images as [h, w, channels_out] (raw sample
-// values 0..255 or 0..65535 — no scaling), or nullptr on failure.
+// Decodes non-interlaced 8/16-bit gray / 8/16-bit RGB(A) / gray+alpha PNGs.
+// Returns float32 pixels as [h, w, channels_out]: color in 0..255 (16-bit
+// color truncated to the high byte, matching PIL), grayscale raw
+// (0..255 / 0..65535 for KITTI uint16 disparities), nullptr on failure.
 // channels_out: 3 for color types 2/6 (alpha dropped), 1 for types 0/4.
 float* decode_png(const uint8_t* bytes, size_t n, int64_t* h_out,
                   int64_t* w_out, int64_t* c_out) {
@@ -170,7 +171,15 @@ float* decode_png(const uint8_t* bytes, size_t n, int64_t* h_out,
       for (uint32_t x = 0; x < width; ++x)
         for (int c = 0; c < c_out_n; ++c)
           dst[x * c_out_n + c] = float(cur[x * samples + c]);
-    } else {  // 16-bit big-endian samples
+    } else if (c_out_n == 3) {
+      // 16-bit color: reduce to 8-bit range by taking the high byte, the
+      // same truncation PIL applies when opening 16-bit RGB PNGs — keeps
+      // the native and fallback paths consistent for downstream /255
+      // normalization (images are 8-bit in practice; this is a safety net).
+      for (uint32_t x = 0; x < width; ++x)
+        for (int c = 0; c < c_out_n; ++c)
+          dst[x * c_out_n + c] = float(cur[(x * samples + c) * 2]);
+    } else {  // 16-bit big-endian grayscale (KITTI disparity): raw values
       for (uint32_t x = 0; x < width; ++x)
         for (int c = 0; c < c_out_n; ++c) {
           const uint8_t* s = cur + (x * samples + c) * 2;

@@ -9,6 +9,7 @@ caller falls back to the Python readers in `file_io.py`.
 from __future__ import annotations
 
 import ctypes
+import logging
 import os
 import subprocess
 import threading
@@ -36,7 +37,14 @@ def _try_build() -> bool:
             capture_output=True,
             timeout=120,
         )
-    except Exception:
+    except Exception as e:  # missing toolchain/zlib: fall back, but say so
+        stderr = getattr(e, "stderr", b"") or b""
+        logging.getLogger("aanet_tpu").warning(
+            "native IO library build failed (%s); falling back to the "
+            "slower Python PNG/PFM decoders. make stderr:\n%s",
+            e,
+            stderr.decode(errors="replace").strip()[-2000:],
+        )
         return False
     return os.path.exists(_LIB_PATH)
 
@@ -54,7 +62,11 @@ def _load() -> Optional[ctypes.CDLL]:
             return None
         try:
             lib = ctypes.CDLL(_LIB_PATH)
-        except OSError:
+        except OSError as e:
+            logging.getLogger("aanet_tpu").warning(
+                "native IO library exists but failed to load (%s); "
+                "falling back to the Python decoders", e,
+            )
             return None
         lib.aanet_decode.restype = ctypes.POINTER(ctypes.c_float)
         lib.aanet_decode.argtypes = [

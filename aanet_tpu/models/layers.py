@@ -206,7 +206,10 @@ class DeformConv2dLayer(nn.Module):
             use_bias=True,
             kernel_init=nn.initializers.zeros,
             bias_init=nn.initializers.zeros,
-            dtype=compute_dtype(),
+            # Always f32: sample coordinates feed bilinear interpolation, and
+            # bf16's 8-bit mantissa would quantise offsets by up to ~1px at
+            # W~1000 (ops/deform.py keeps the whole coordinate path f32).
+            dtype=jnp.float32,
             name="offset_conv",
         )(x)
 

@@ -111,3 +111,48 @@ def test_zero_disparity_for_identical_images():
     out = model.apply(variables, img, img, train=False)
     assert len(out) == 3  # no refinement
     assert np.isfinite(np.asarray(out[-1])).all()
+
+
+def test_bfloat16_policy():
+    """bf16 compute path: params stay f32, final disparity is f32, and the
+    result stays close to the f32 run (zero-init offsets make the deform
+    path exactly a dilated conv, so bf16 noise comes only from convs/BN).
+    Also checks the config plumbing: --dtype -> ModelConfig.dtype."""
+    h = w = 96
+    kw = dict(max_disp=48, **AANET_KW)
+    rs = np.random.RandomState(6)
+    left = jnp.asarray(rs.rand(1, h, w, 3), jnp.float32)
+    right = jnp.asarray(rs.rand(1, h, w, 3), jnp.float32)
+
+    f32_model = AANet(**kw)
+    variables = init_model(f32_model, h, w)
+    bf16_model = AANet(dtype="bfloat16", **kw)
+
+    # identical parameter trees: dtype must not change init
+    bf16_vars = init_model(bf16_model, h, w)
+    assert jax.tree.all(
+        jax.tree.map(lambda a, b: a.shape == b.shape, variables, bf16_vars)
+    )
+    for p in jax.tree.leaves(bf16_vars["params"]):
+        assert p.dtype == jnp.float32  # params stay f32 under the policy
+
+    ref = f32_model.apply(variables, left, right, train=False)
+    out = bf16_model.apply(variables, left, right, train=False)
+    for o in out:
+        assert o.dtype == jnp.float32  # disparities always returned f32
+    # bf16 run tracks the f32 run (loose: bf16 has ~3 decimal digits)
+    err = float(jnp.abs(out[-1] - ref[-1]).mean())
+    scale = float(jnp.abs(ref[-1]).mean()) + 1e-6
+    assert err / scale < 0.15, (err, scale)
+
+
+def test_cli_dtype_flag_reaches_model_config():
+    from aanet_tpu.cli import build_config, main  # noqa: F401
+    import argparse
+
+    ns = argparse.Namespace(
+        preset="aanet", dtype="bfloat16", no_remat=False, milestones="20,30"
+    )
+    cfg = build_config(ns)
+    assert cfg.model.dtype == "bfloat16"
+    assert cfg.model.feature_pyramid_network
