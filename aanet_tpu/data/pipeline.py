@@ -33,10 +33,11 @@ def _collate(samples) -> Dict[str, np.ndarray]:
 class _Prefetcher:
     """Iterate batches on a background thread with a bounded queue."""
 
-    def __init__(self, gen, depth: int = 2):
+    def __init__(self, gen, depth: int = 2, length: Optional[int] = None):
         self.q: queue.Queue = queue.Queue(maxsize=depth)
         self.done = object()
         self.err: Optional[BaseException] = None
+        self._length = length
 
         def worker():
             try:
@@ -49,6 +50,11 @@ class _Prefetcher:
 
         self.thread = threading.Thread(target=worker, daemon=True)
         self.thread.start()
+
+    def __len__(self):
+        if self._length is None:
+            raise TypeError("loader length unknown")
+        return self._length
 
     def __iter__(self):
         while True:
@@ -111,7 +117,7 @@ def make_train_loader(
         dataset, shard, local_bs, num_workers, seed=seed * 1000 + epoch,
         drop_last=True,
     )
-    return _Prefetcher(gen, depth=prefetch)
+    return _Prefetcher(gen, depth=prefetch, length=len(shard) // local_bs)
 
 
 def make_val_loader(
@@ -123,4 +129,5 @@ def make_val_loader(
     """Sequential validation/test batches (no shuffle, keep remainder)."""
     indices = np.arange(len(dataset))
     gen = _batches(dataset, indices, batch_size, num_workers, seed=0, drop_last=False)
-    return _Prefetcher(gen, depth=prefetch)
+    n_batches = (len(dataset) + batch_size - 1) // batch_size
+    return _Prefetcher(gen, depth=prefetch, length=n_batches)

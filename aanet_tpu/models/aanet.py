@@ -193,9 +193,14 @@ class AANet(nn.Module):
                 pyramid.append(disparity)  # [H/2, H]
         return pyramid
 
-    def __call__(self, left_img, right_img, train: bool = False):
+    def __call__(
+        self, left_img, right_img, train: bool = False, freeze_bn: bool = False
+    ):
         # Install the compute dtype for this trace; the final disparity is
         # always returned in f32 (soft-argmin/refinement upcast internally).
+        # freeze_bn puts every BatchNorm in running-stats mode while the
+        # rest of the trace stays in training mode (remat active) — the
+        # reference's fine-tune protocol (model.py:40-47).
         dt = canonical_dtype(self.dtype)
         use_remat = self.remat and train
         if use_remat:
@@ -206,7 +211,9 @@ class AANet(nn.Module):
             refine_fn = nn.remat(
                 lambda m, l, r, d: AANet.disparity_refinement(m, l, r, d, True)
             )
-        with precision(dt):
+        from aanet_tpu.models.layers import freeze_bn_scope
+
+        with precision(dt), freeze_bn_scope(freeze_bn):
             if dt is not None:
                 left_img = left_img.astype(dt)
                 right_img = right_img.astype(dt)

@@ -126,6 +126,13 @@ class PSMNetFeature(nn.Module):
         output_skip = x  # H/4, 128ch
 
         h, w = output_skip.shape[1:3]
+        if h < 64 or w < 64:
+            raise ValueError(
+                f"PSMNetFeature: H/4 feature map is {h}x{w} but the SPP "
+                "branches pool fixed 64px windows (reference "
+                "nets/feature.py:250-265) — the input image must be at "
+                f"least 256x256 (got {h * 4}x{w * 4})."
+            )
         branches = []
         for pool in (64, 32, 16, 8):
             b = nn.avg_pool(

@@ -21,7 +21,6 @@ from __future__ import annotations
 import functools
 import json
 import os
-import time
 from typing import Any, Callable, Dict, Iterable, Optional
 
 import jax
@@ -56,7 +55,12 @@ def make_loss_fn(model, max_disp: int, freeze_bn: bool, highest_loss_only: bool)
         left, right = batch["left"], batch["right"]
         gt = batch["disp"]
         if freeze_bn:
-            pyramid = model.apply(variables, left, right, train=False)
+            # BN uses running stats but the trace stays in training mode so
+            # activation remat is active (the KITTI fine-tune at 384x1248
+            # would OOM otherwise — models/aanet.py remat note).
+            pyramid = model.apply(
+                variables, left, right, train=True, freeze_bn=True
+            )
             new_bs = batch_stats
         else:
             pyramid, mutated = model.apply(
@@ -149,7 +153,9 @@ def make_eval_step(model, max_disp: int):
             mask = mask & (batch["sample_valid"][:, None, None] > 0)
         metrics = all_metrics(pred, gt, mask)
         metrics["valid"] = jnp.any(mask).astype(jnp.float32)
-        return pred, metrics
+        # the pyramid rides along for image panels / .mat analysis dumps
+        # (fetched to host only when actually used)
+        return pred, metrics, pyramid
 
     return eval_step
 
@@ -259,6 +265,25 @@ class Trainer:
         os.makedirs(t.checkpoint_dir, exist_ok=True)
         self._metrics_file = os.path.join(t.checkpoint_dir, "metrics.jsonl")
 
+        # Observability (reference model.py:157-223, 345-365, train.py:269):
+        # TB-or-file summary writer for scalars / image panels / histograms,
+        # .mat loss records, and a step timer for the seconds-per-window +
+        # ETA log line.
+        from aanet_tpu.utils.matlab_export import LossRecord
+        from aanet_tpu.utils.profiling import StepTimer
+        from aanet_tpu.utils.visualization import make_summary_writer
+
+        self.writer = None
+        if not t.evaluate_only:
+            self.writer = make_summary_writer(
+                os.path.join(t.checkpoint_dir, "tb")
+            )
+        self.train_record = LossRecord()
+        self.val_record = LossRecord()
+        self.step_timer = StepTimer(
+            total_steps=self.steps_per_epoch * max(1, t.max_epoch)
+        )
+
     # -- logging ---------------------------------------------------------
 
     def _log_jsonl(self, record: dict):
@@ -269,28 +294,31 @@ class Trainer:
 
     def train_epoch(self, batches: Iterable[Dict[str, np.ndarray]]) -> dict:
         cfg = self.cfg.train
-        sums: Dict[str, float] = {}
-        count = 0
-        last_print = time.time()
+        # Every step's metrics are kept as (tiny) device arrays and pulled
+        # to the host once at epoch end — no per-step sync, and the epoch
+        # mean covers every step regardless of print_freq (the reference
+        # averages over all steps too, model.py:140-149).
+        history: list = []
         for i, batch in enumerate(batches):
             batch = shard_batch(batch, self.mesh)
             self.state, metrics = self.train_step(self.state, batch)
-            count += 1
+            history.append(metrics)
             if (i + 1) % cfg.print_freq == 0:
                 metrics = jax.tree.map(float, jax.device_get(metrics))
-                for k, v in metrics.items():
-                    sums[k] = sums.get(k, 0.0) + v
-                cycle = time.time() - last_print
-                last_print = time.time()
-                lr = float(self.schedule(int(jax.device_get(self.state.step))))
+                timing = self.step_timer.lap(cfg.print_freq)
+                step = int(jax.device_get(self.state.step))
+                lr = float(self.schedule(step))
+                # seconds-per-window + projected hours to finish
+                # (reference model.py:157-167)
                 self.logger.info(
-                    "Epoch [%3d/%3d] step %5d  time %.2fs  lr %.2e  "
-                    "loss %.3f  epe %.3f"
+                    "Epoch [%3d/%3d] step %5d  time %.2fs  ETA %.2fh  "
+                    "lr %.2e  loss %.3f  epe %.3f"
                     % (
                         self.epoch + 1,
                         cfg.max_epoch,
-                        int(jax.device_get(self.state.step)),
-                        cycle,
+                        step,
+                        timing["window_seconds"],
+                        timing["eta_hours"],
                         lr,
                         metrics["total_loss"],
                         metrics["epe"],
@@ -299,10 +327,24 @@ class Trainer:
                 self._log_jsonl(
                     {"kind": "train", "epoch": self.epoch + 1, **metrics}
                 )
+                if self.writer is not None:
+                    self.writer.add_scalar("base_lr", lr, step)
+                    for k, v in metrics.items():
+                        self.writer.add_scalar(f"train/{k}", v, step)
+            if self.writer is not None and (i + 1) % cfg.summary_freq == 0:
+                self._train_summary(batch)
         self.epoch += 1
-        n = max(1, len(sums) and count // cfg.print_freq or 1)
-        means = {k: v / max(1, count // cfg.print_freq) for k, v in sums.items()}
-        del n
+        means: Dict[str, float] = {}
+        if history:
+            stacked = jax.device_get(history)
+            keys = stacked[0].keys()
+            means = {
+                k: float(np.mean([float(m[k]) for m in stacked])) for k in keys
+            }
+            # per-epoch .mat record (reference train.py:269,
+            # utilsForMatlab.py:8-44)
+            self.train_record.append({"epoch": self.epoch, **means})
+            self._export_matlab()
 
         # latest + periodic checkpoints (model.py:245-260)
         self._save("aanet_latest", with_optimizer=True)
@@ -313,24 +355,135 @@ class Trainer:
             )
         return means
 
+    def _train_summary(self, sharded_batch):
+        """summary_freq image panels + signed-error histogram on the
+        current train batch (reference model.py:171-223)."""
+        from aanet_tpu.utils.visualization import (
+            disp_error_img,
+            save_hist,
+            save_images,
+        )
+
+        pred, _, _ = self.eval_step(self.state, sharded_batch)
+        step = int(jax.device_get(self.state.step))
+        pred = np.asarray(jax.device_get(pred))
+        gt = np.asarray(jax.device_get(sharded_batch["disp"]))
+        left = np.asarray(jax.device_get(sharded_batch["left"]))
+        right = np.asarray(jax.device_get(sharded_batch["right"]))
+        panels = {
+            "left": left,
+            "right": right,
+            "gt_disp": gt,
+            "pred_disp": pred,
+            "disp_error": disp_error_img(pred[:1], gt[:1]),
+        }
+        save_images(self.writer, "train", panels, step)
+        save_hist(self.writer, "train", pred, gt, step)
+
+    def _export_matlab(self):
+        from aanet_tpu.utils.matlab_export import save_loss_for_matlab
+
+        try:
+            save_loss_for_matlab(
+                self.train_record, self.cfg.train.checkpoint_dir,
+                filename="lossRecord.mat",
+            )
+            if self.val_record.data:
+                save_loss_for_matlab(
+                    self.val_record, self.cfg.train.checkpoint_dir,
+                    filename="valLossRecord.mat",
+                )
+        except Exception as e:  # scipy missing: observability never blocks
+            self.logger.warning(f"matlab export skipped: {e}")
+
     # -- validate --------------------------------------------------------
 
     def validate(self, batches: Iterable[Dict[str, np.ndarray]]) -> dict:
+        # Averaging is per-BATCH, matching the reference exactly: it sums
+        # one masked-mean per batch and divides by the number of batches
+        # with any valid pixel (model.py:337-345, 371-377). A ragged final
+        # batch is padded here with sample_valid=0 rows, so its masked
+        # mean covers only the real samples — identical to the reference
+        # running the smaller batch directly.
+        from aanet_tpu.utils.matlab_export import (
+            DEFAULT_ANALYSIS_INDICES,
+            save_img_error_analysis,
+        )
+        from aanet_tpu.utils.visualization import (
+            disp_error_img,
+            save_hist,
+            save_images,
+        )
+
         cfg = self.cfg.train
         sums: Dict[str, float] = {}
         valid_samples = 0
-        for batch in batches:
+        # the reference saves 5 evenly-spaced image panels per validation
+        # (model.py:350-365); spacing needs the batch count when known
+        try:
+            n_batches = len(batches)
+            panel_gate = {n_batches // 6 * k for k in range(1, 6)}
+        except TypeError:
+            panel_gate = {0, 1, 2, 3, 4}
+        panel_count = 0
+        sample_base = 0
+        analysis = set(DEFAULT_ANALYSIS_INDICES)
+        for i, batch in enumerate(batches):
+            real_bs = len(next(iter(batch.values())))
             batch = pad_batch(batch, self.cfg.data.val_batch_size)
             batch.pop("left_name", None)
             batch = shard_batch(batch, self.mesh)
-            _, metrics = self.eval_step(self.state, batch)
+            pred, metrics, pyramid = self.eval_step(self.state, batch)
             metrics = jax.tree.map(float, jax.device_get(metrics))
+            do_panel = self.writer is not None and i in panel_gate
+            do_analysis = any(
+                sample_base <= a < sample_base + real_bs for a in analysis
+            )
+            if do_panel or do_analysis:
+                pred_np = np.asarray(jax.device_get(pred))
+                gt_np = np.asarray(jax.device_get(batch["disp"]))
+                left_np = np.asarray(jax.device_get(batch["left"]))
+            if do_panel:
+                panels = {
+                    "left": left_np,
+                    "gt_disp": gt_np,
+                    "pred_disp": pred_np,
+                    "disp_error": disp_error_img(pred_np[:1], gt_np[:1]),
+                }
+                save_images(self.writer, f"val{panel_count}", panels, self.epoch)
+                save_hist(
+                    self.writer, f"val{panel_count}", pred_np, gt_np, self.epoch
+                )
+                panel_count += 1
+            if do_analysis:
+                # .mat dump at the fixed sample indices
+                # (reference model.py:345-347, utilsForMatlab.py:51-89)
+                pyr_np = [np.asarray(jax.device_get(p)) for p in pyramid]
+                for a in analysis:
+                    j = a - sample_base
+                    if 0 <= j < real_bs:
+                        try:
+                            save_img_error_analysis(
+                                cfg.checkpoint_dir, self.epoch, a,
+                                left_np[j], gt_np[j],
+                                [p[j] for p in pyr_np],
+                            )
+                        except Exception as e:
+                            self.logger.warning(f".mat analysis skipped: {e}")
+            sample_base += real_bs
             if metrics.pop("valid") == 0.0:
                 continue
             valid_samples += 1
             for k, v in metrics.items():
                 sums[k] = sums.get(k, 0.0) + v
         means = {k: v / max(1, valid_samples) for k, v in sums.items()}
+        if self.writer is not None:
+            for k, v in means.items():
+                self.writer.add_scalar(f"val/{k}", v, self.epoch)
+        if means:
+            self.val_record.append({"epoch": self.epoch, **means})
+            if not cfg.evaluate_only:
+                self._export_matlab()
         self.logger.info(
             "validation epoch %d: " % self.epoch
             + "  ".join(f"{k} {v:.4f}" for k, v in sorted(means.items()))

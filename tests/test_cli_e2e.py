@@ -65,7 +65,8 @@ def test_train_evaluate_inference_predict(fixture_dataset, tmp_path, capsys):
 
     main(
         ["train", "--checkpoint_dir", ckpt_dir, "--max_epoch", "1",
-         "--print_freq", "1", "--save_ckpt_freq", "1", "--milestones", "10"]
+         "--print_freq", "1", "--summary_freq", "1", "--save_ckpt_freq", "1",
+         "--milestones", "10"]
         + common
     )
     assert os.path.exists(os.path.join(ckpt_dir, "aanet_latest.msgpack"))
@@ -75,6 +76,19 @@ def test_train_evaluate_inference_predict(fixture_dataset, tmp_path, capsys):
     assert os.path.exists(
         os.path.join(ckpt_dir, "models", "aanet_epoch_001.msgpack")
     )
+    # observability artifacts (reference model.py:157-223,345-365,
+    # train.py:269): TB summaries, per-epoch .mat records, val analysis
+    # dumps at the fixed sample indices (index 0 is always in range)
+    tb_dir = os.path.join(ckpt_dir, "tb")
+    assert os.path.isdir(tb_dir) and len(os.listdir(tb_dir)) > 0
+    assert os.path.exists(os.path.join(ckpt_dir, "lossRecord.mat"))
+    analysis_dir = os.path.join(ckpt_dir, "matlab_analysis")
+    assert os.path.isdir(analysis_dir)
+    assert any(f.endswith("sample00000.mat") for f in os.listdir(analysis_dir))
+    from scipy.io import loadmat
+
+    rec = loadmat(os.path.join(ckpt_dir, "lossRecord.mat"))
+    assert "epe" in rec and "total_loss" in rec
 
     main(["evaluate", "--checkpoint_dir", ckpt_dir] + common)
     out = capsys.readouterr().out.strip().splitlines()[-1]
