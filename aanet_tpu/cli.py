@@ -36,14 +36,49 @@ def _enable_compilation_cache():
         pass  # older jax without the knobs
 
 
+def maybe_init_distributed(logger=None) -> bool:
+    """Multi-host process-group initialization (the reference's DDP init,
+    train.py:113-123, replaced by `jax.distributed.initialize`).
+
+    Gated on AANET_TPU_DISTRIBUTED=1 (or the standard JAX cluster env
+    COORDINATOR_ADDRESS being set by a launcher). On TPU pods
+    `jax.distributed.initialize()` auto-discovers the coordinator, process
+    count and process id from the TPU metadata; on other clusters the
+    JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID env vars
+    apply. Data loading is already process-sharded
+    (`data/pipeline.py:make_train_loader` shards by jax.process_index()),
+    so this is the only multi-host hook needed.
+    """
+    flag = os.environ.get("AANET_TPU_DISTRIBUTED", "")
+    if flag.lower() in ("", "0", "false") and not os.environ.get(
+        "COORDINATOR_ADDRESS"
+    ):
+        return False
+    import jax
+
+    jax.distributed.initialize()
+    if logger is not None:
+        logger.info(
+            f"jax.distributed initialized: process "
+            f"{jax.process_index()}/{jax.process_count()}, "
+            f"{jax.local_device_count()} local / {jax.device_count()} "
+            f"global devices"
+        )
+    return True
+
+
 def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--preset", default=None,
                    help="aanet | aanet+ | stereonet-aa | psmnet-aa | ganet-aa | gcnet-aa")
+    # Boolean model flags are tri-state (None = keep the preset's value):
+    # BooleanOptionalAction gives each one a --no-<flag> negation so a
+    # preset's True can be switched off from the command line.
+    bool_flag = dict(action=argparse.BooleanOptionalAction, default=None)
     p.add_argument("--max_disp", type=int, default=None)
     p.add_argument("--feature_type", default=None)
-    p.add_argument("--no_feature_mdconv", action="store_true")
-    p.add_argument("--feature_pyramid", action="store_true")
-    p.add_argument("--feature_pyramid_network", action="store_true")
+    p.add_argument("--no_feature_mdconv", **bool_flag)
+    p.add_argument("--feature_pyramid", **bool_flag)
+    p.add_argument("--feature_pyramid_network", **bool_flag)
     p.add_argument("--feature_similarity", default=None)
     p.add_argument("--num_downsample", type=int, default=None)
     p.add_argument("--aggregation_type", default=None)
@@ -51,7 +86,7 @@ def _add_model_args(p: argparse.ArgumentParser):
     p.add_argument("--num_fusions", type=int, default=None)
     p.add_argument("--num_stage_blocks", type=int, default=None)
     p.add_argument("--num_deform_blocks", type=int, default=None)
-    p.add_argument("--no_intermediate_supervision", action="store_true")
+    p.add_argument("--no_intermediate_supervision", **bool_flag)
     p.add_argument("--refinement_type", default=None)
     p.add_argument("--mdconv_dilation", type=int, default=None)
     p.add_argument("--deformable_groups", type=int, default=None)
@@ -64,64 +99,83 @@ def _add_model_args(p: argparse.ArgumentParser):
 
 
 def _add_data_args(p: argparse.ArgumentParser):
-    p.add_argument("--data_dir", default="data/SceneFlow")
-    p.add_argument("--dataset_name", default="SceneFlow")
-    p.add_argument("--mode", default="val")
-    p.add_argument("--split_preset", default="full",
+    # All defaults are None (tri-state): unspecified flags keep the
+    # recipe's / dataclass's value, explicit flags always win.
+    bool_flag = dict(action=argparse.BooleanOptionalAction, default=None)
+    p.add_argument("--data_dir", default=None)
+    p.add_argument("--dataset_name", default=None)
+    p.add_argument("--mode", default=None)
+    p.add_argument("--split_preset", default=None,
                    help="debug | overfit | subset_{1200,2400,4800,9600,19200} | full")
     p.add_argument("--filename_root", default=None)
-    p.add_argument("--batch_size", type=int, default=64)
-    p.add_argument("--val_batch_size", type=int, default=64)
-    p.add_argument("--img_height", type=int, default=288)
-    p.add_argument("--img_width", type=int, default=576)
-    p.add_argument("--val_img_height", type=int, default=576)
-    p.add_argument("--val_img_width", type=int, default=960)
-    p.add_argument("--num_workers", type=int, default=8)
-    p.add_argument("--load_pseudo_gt", action="store_true")
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--val_batch_size", type=int, default=None)
+    p.add_argument("--img_height", type=int, default=None)
+    p.add_argument("--img_width", type=int, default=None)
+    p.add_argument("--val_img_height", type=int, default=None)
+    p.add_argument("--val_img_width", type=int, default=None)
+    p.add_argument("--num_workers", type=int, default=None)
+    p.add_argument("--load_pseudo_gt", **bool_flag)
 
 
 def _add_train_args(p: argparse.ArgumentParser):
-    p.add_argument("--checkpoint_dir", required=True)
-    p.add_argument("--seed", type=int, default=326)
-    p.add_argument("--learning_rate", type=float, default=1e-3)
-    p.add_argument("--weight_decay", type=float, default=1e-4)
-    p.add_argument("--lr_decay_gamma", type=float, default=0.5)
-    p.add_argument("--milestones", default="20,30,40,50,60")
-    p.add_argument("--max_epoch", type=int, default=64)
-    p.add_argument("--accumulation_steps", type=int, default=1)
-    p.add_argument("--freeze_bn", action="store_true")
-    p.add_argument("--highest_loss_only", action="store_true")
-    p.add_argument("--val_metric", default="epe")
-    p.add_argument("--save_ckpt_freq", type=int, default=5)
-    p.add_argument("--print_freq", type=int, default=50)
-    p.add_argument("--resume", action="store_true")
-    p.add_argument("--no_validate", action="store_true")
+    bool_flag = dict(action=argparse.BooleanOptionalAction, default=None)
+    p.add_argument("--recipe", default=None,
+                   help="named training pipeline stage (config.RUN_RECIPES): "
+                   "{aanet,aanet+}_{sceneflow,kittimix,kitti15,kitti12}")
+    p.add_argument("--checkpoint_dir", default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--learning_rate", type=float, default=None)
+    p.add_argument("--weight_decay", type=float, default=None)
+    p.add_argument("--lr_decay_gamma", type=float, default=None)
+    p.add_argument("--milestones", default=None)
+    p.add_argument("--max_epoch", type=int, default=None)
+    p.add_argument("--accumulation_steps", type=int, default=None)
+    p.add_argument("--freeze_bn", **bool_flag)
+    p.add_argument("--highest_loss_only", **bool_flag)
+    p.add_argument("--val_metric", default=None)
+    p.add_argument("--save_ckpt_freq", type=int, default=None)
+    p.add_argument("--print_freq", type=int, default=None)
+    p.add_argument("--summary_freq", type=int, default=None)
+    p.add_argument("--resume", **bool_flag)
+    p.add_argument("--no_validate", **bool_flag)
     p.add_argument("--pretrained", default=None)
-    p.add_argument("--strict", action="store_true")
+    p.add_argument("--strict", **bool_flag)
 
 
 def build_config(args) -> Config:
-    model = preset(args.preset) if args.preset else ModelConfig()
+    from aanet_tpu.config import recipe as run_recipe
+
+    if getattr(args, "recipe", None):
+        cfg = run_recipe(args.recipe)
+        if getattr(args, "preset", None):
+            cfg.model = preset(args.preset)
+        model, data, train = cfg.model, cfg.data, cfg.train
+    else:
+        model = preset(args.preset) if getattr(args, "preset", None) else ModelConfig()
+        data = DataConfig()
+        train = TrainConfig()
+
     for f in dataclasses.fields(ModelConfig):
         v = getattr(args, f.name, None)
-        if v is not None and not (isinstance(v, bool) and not v):
+        if v is not None:  # None means "keep preset/default" — False applies
             setattr(model, f.name, v)
     if getattr(args, "no_remat", False):
         model.remat = False
 
-    data = DataConfig()
     for f in dataclasses.fields(DataConfig):
-        if hasattr(args, f.name) and getattr(args, f.name) is not None:
+        if getattr(args, f.name, None) is not None:
             setattr(data, f.name, getattr(args, f.name))
 
-    train = TrainConfig()
     mapping = {"strict": "strict_load"}
     for f in dataclasses.fields(TrainConfig):
         src = next((k for k, v in mapping.items() if v == f.name), f.name)
-        if hasattr(args, src) and getattr(args, src) is not None:
+        if getattr(args, src, None) is not None:
             setattr(train, f.name, getattr(args, src))
-    if hasattr(args, "milestones") and isinstance(args.milestones, str):
-        train.milestones = tuple(int(m) for m in args.milestones.split(","))
+    if isinstance(train.milestones, str):
+        train.milestones = tuple(int(m) for m in train.milestones.split(","))
+    if not train.checkpoint_dir:
+        raise SystemExit("--checkpoint_dir (or --recipe) is required")
     return Config(model=model, data=data, train=train)
 
 
@@ -256,6 +310,7 @@ def cmd_predict(args):
 
 def main(argv=None):
     _enable_compilation_cache()
+    maybe_init_distributed()
     parser = argparse.ArgumentParser(prog="aanet_tpu")
     sub = parser.add_subparsers(dest="command", required=True)
 

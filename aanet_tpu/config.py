@@ -84,7 +84,10 @@ class TrainConfig:
     resume: bool = False
     evaluate_only: bool = False
     no_validate: bool = False
-    strict_load: bool = True
+    # non-strict pretrained loading by default, like the reference
+    # (train.py --strict defaults False; utils.py:116-119) — enables
+    # fine-tuning across architecture variants
+    strict_load: bool = False
     pretrained: Optional[str] = None
 
 
@@ -148,3 +151,90 @@ def preset(name: str) -> ModelConfig:
     if name not in MODEL_PRESETS:
         raise KeyError(f"unknown preset {name!r}; have {sorted(MODEL_PRESETS)}")
     return dataclasses.replace(MODEL_PRESETS[name])
+
+
+# ---------------------------------------------------------------------------
+# Run recipes: the reference's staged training pipelines as full Configs
+# (scripts/aanet_train.sh, scripts/aanet+_train.sh:5-60). Stage N's
+# `pretrained` points at stage N-1's checkpoint; pass --checkpoint_dir /
+# --data_dir / --pretrained to relocate.
+# ---------------------------------------------------------------------------
+
+
+def _recipe(model_name: str, stage: str) -> Config:
+    model = preset(model_name)
+    tag = model_name  # checkpoint dirs match the reference scripts
+    if stage == "sceneflow":
+        # scripts/aanet+_train.sh:5-19 + README.md:110 (batch 64 on 4xV100
+        # == global batch 64 over the data mesh)
+        data = DataConfig(
+            dataset_name="SceneFlow", mode="val",
+            batch_size=64 if model_name == "aanet" else 16,
+            val_batch_size=64,
+            img_height=288, img_width=576,
+            val_img_height=576, val_img_width=960,
+        )
+        train = TrainConfig(
+            checkpoint_dir=f"checkpoints/{tag}_sceneflow",
+            learning_rate=1e-3, milestones=(20, 30, 40, 50, 60),
+            max_epoch=64,
+        )
+    elif stage == "kittimix":
+        # scripts/aanet+_train.sh:21-40: pseudo-GT supervised KITTI mix
+        data = DataConfig(
+            data_dir="data/KITTI", dataset_name="KITTI_mix", mode="train",
+            batch_size=8 if "+" in model_name else 6, val_batch_size=8,
+            img_height=288 if "+" in model_name else 336,
+            img_width=1152 if "+" in model_name else 960,
+            val_img_height=384, val_img_width=1248,
+            load_pseudo_gt=True,
+        )
+        train = TrainConfig(
+            checkpoint_dir=f"checkpoints/{tag}_kittimix",
+            pretrained=f"checkpoints/{tag}_sceneflow/aanet_best.msgpack",
+            strict_load=False,
+            learning_rate=1e-3, milestones=(400, 600, 800, 900),
+            max_epoch=1000, save_ckpt_freq=100, no_validate=True,
+        )
+    elif stage in ("kitti15", "kitti12"):
+        # scripts/aanet+_train.sh:42-60: full-res fine-tune with frozen BN
+        # and highest-scale-only loss
+        k15 = stage == "kitti15"
+        data = DataConfig(
+            data_dir=(
+                "data/KITTI/kitti_2015/data_scene_flow"
+                if k15 else "data/KITTI/kitti_2012/data_stereo_flow"
+            ),
+            dataset_name="KITTI2015" if k15 else "KITTI2012",
+            mode="train_all",
+            batch_size=8 if "+" in model_name else 6, val_batch_size=8,
+            img_height=384, img_width=1248,
+            val_img_height=384, val_img_width=1248,
+            load_pseudo_gt=True,
+        )
+        train = TrainConfig(
+            checkpoint_dir=f"checkpoints/{tag}_{stage}",
+            pretrained=f"checkpoints/{tag}_kittimix/aanet_latest.msgpack",
+            strict_load=False,
+            learning_rate=1e-4, milestones=(400, 600, 800, 900),
+            max_epoch=1000, save_ckpt_freq=100, no_validate=True,
+            highest_loss_only=True,
+            freeze_bn="+" in model_name,  # aanet+_train.sh:56-60
+        )
+    else:
+        raise KeyError(stage)
+    return Config(model=model, data=data, train=train)
+
+
+RUN_RECIPES = {
+    f"{m}_{s}": (m, s)
+    for m in ("aanet", "aanet+")
+    for s in ("sceneflow", "kittimix", "kitti15", "kitti12")
+}
+
+
+def recipe(name: str) -> Config:
+    """Full Config for a named training recipe (e.g. 'aanet+_sceneflow')."""
+    if name not in RUN_RECIPES:
+        raise KeyError(f"unknown recipe {name!r}; have {sorted(RUN_RECIPES)}")
+    return _recipe(*RUN_RECIPES[name])

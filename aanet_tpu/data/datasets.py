@@ -9,12 +9,40 @@ disp_occ -> disp_occ_pseudo_gt rewriting.
 """
 from __future__ import annotations
 
+import gzip
 import os
 from typing import Optional
 
 import numpy as np
 
 from aanet_tpu.data.file_io import read_disp, read_img
+
+# Vendored copies of the reference's split lists (data artifacts, gzipped;
+# see aanet_tpu/filenames/MANIFEST.json for line counts + hashes). Used
+# when no filename_root is given and the cwd has no local lists — so
+# `--split_preset subset_1200` etc. resolve out of the box.
+VENDORED_ROOT = os.path.join(os.path.dirname(__file__), "..", "filenames")
+
+
+def _resolve_list(filename_root: Optional[str], split_dir: str, fname: str) -> str:
+    candidates = []
+    for root in ([filename_root] if filename_root else [".", VENDORED_ROOT]):
+        candidates.append(os.path.join(root, split_dir, fname))
+        candidates.append(os.path.join(root, split_dir, fname + ".gz"))
+    for c in candidates:
+        if os.path.exists(c):
+            return c
+    raise FileNotFoundError(
+        f"no filename list for {split_dir}/{fname}; looked in {candidates}. "
+        "Note: the reference checkout itself is missing "
+        "filenames/SceneFlow_finalpass_train.txt (large blob) and the "
+        "fileNames_debug/ & fileNames_overfit/ dirs — generate lists with "
+        "tools/generate_filenames.py or pass --filename_root."
+    )
+
+
+def _open_list(path: str):
+    return gzip.open(path, "rt") if path.endswith(".gz") else open(path)
 
 # split preset -> filename-list directory (reference tasks dict,
 # dataloader/dataloader.py:31-42)
@@ -90,10 +118,10 @@ class StereoDataset:
         files = _DATASET_FILES[dataset_name]
         if mode not in files:
             raise KeyError(f"{dataset_name} has no mode {mode!r}")
-        list_path = os.path.join(filename_root or ".", split_dir, files[mode])
+        list_path = _resolve_list(filename_root, split_dir, files[mode])
 
         self.samples = []
-        with open(list_path) as f:
+        with _open_list(list_path) as f:
             for line in f:
                 splits = line.split()
                 if not splits:
