@@ -32,8 +32,38 @@ def _out_size(size: int, k: int, stride: int, pad: int, dil: int) -> int:
     return (size + 2 * pad - eff) // stride + 1
 
 
+def _make_patches(x: jax.Array, g: int) -> jax.Array:
+    """Precompute the 2x2 neighbour patches over a zero-padded grid.
+
+    Returns [B, (H+2)*(W+2), G, 4*Cg] where flat position (i, j) on the
+    padded grid (i = y+1, j = x+1) holds the four corners
+    [x(y,x), x(y,x+1), x(y+1,x), x(y+1,x+1)] — out-of-image corners are
+    exact zeros (the reference's zero-pad sampling,
+    `deform_conv_cuda_kernel.cu:85-116`).
+
+    One bilinear sample then needs ONE dynamic gather of 4*Cg instead of
+    four masked gathers of Cg: 4x fewer index computations, no `where`
+    masks at all (the pad rows/cols carry the zeros), and the clipped
+    fractional weights (see caller) handle far-outside samples for free.
+    """
+    b, h, w, c = x.shape
+    cg = c // g
+    # pad (1 before, 2 after): patch grid positions i in [-1, h] need
+    # rows y in [-1, h+1] => h+3 padded rows.
+    xp = jnp.pad(x, ((0, 0), (1, 2), (1, 2), (0, 0)))
+    hp, wp = h + 2, w + 2
+    corners = [
+        xp[:, :hp, :wp], xp[:, :hp, 1 : wp + 1],
+        xp[:, 1 : hp + 1, :wp], xp[:, 1 : hp + 1, 1 : wp + 1],
+    ]
+    patches = jnp.concatenate(
+        [p.reshape(b, hp, wp, g, cg) for p in corners], axis=-1
+    )
+    return patches.reshape(b, hp * wp, g, 4 * cg)
+
+
 def _bilinear_gather_grouped(
-    x_flat: jax.Array,  # [B, H*W, G, Cg]
+    patches: jax.Array,  # [B, (H+2)*(W+2), G, 4*Cg] from _make_patches
     py: jax.Array,  # [B, Ho, Wo, G] float sample rows
     px: jax.Array,  # [B, Ho, Wo, G] float sample cols
     h: int,
@@ -41,32 +71,32 @@ def _bilinear_gather_grouped(
 ) -> jax.Array:
     """Zero-padded bilinear sample per deformable group.
 
-    Returns [B, Ho, Wo, G, Cg].
+    Returns [B, Ho, Wo, G, Cg]. Coordinates are f32 (bf16's 8-bit mantissa
+    would quantise positions by ~1px at W~1000); values stay in the
+    compute dtype.
     """
     b, ho, wo, g = py.shape
-    cg = x_flat.shape[-1]
-    vdtype = x_flat.dtype  # gather + blend in the compute dtype (bf16-safe:
-    # only the *values* are low precision; coordinates stay f32)
+    cg = patches.shape[-1] // 4
+    vdtype = patches.dtype
 
-    y0 = jnp.floor(py)
-    x0 = jnp.floor(px)
-    ty = py - y0
-    tx = px - x0
+    # Clamp the anchor into the padded grid and the fractional weights to
+    # [0, 1]: inside the image this is exact; far-outside samples either
+    # land on all-zero pad rows (py > h) or get zero weight (py < -1).
+    y0 = jnp.clip(jnp.floor(py), -1.0, float(h))
+    x0 = jnp.clip(jnp.floor(px), -1.0, float(w))
+    ty = jnp.clip(py - y0, 0.0, 1.0).astype(vdtype)
+    tx = jnp.clip(px - x0, 0.0, 1.0).astype(vdtype)
 
-    out = jnp.zeros((b, ho, wo, g, cg), dtype=vdtype)
-    for dy, dx in ((0, 0), (0, 1), (1, 0), (1, 1)):
-        yy = y0 + dy
-        xx = x0 + dx
-        wgt = (ty if dy else (1.0 - ty)) * (tx if dx else (1.0 - tx))
-        inb = (yy >= 0) & (yy <= h - 1) & (xx >= 0) & (xx <= w - 1)
-        yi = jnp.clip(yy, 0, h - 1).astype(jnp.int32)
-        xi = jnp.clip(xx, 0, w - 1).astype(jnp.int32)
-        flat_idx = (yi * w + xi).reshape(b, ho * wo, g, 1)
-        vals = jnp.take_along_axis(x_flat, flat_idx, axis=1)
-        vals = vals.reshape(b, ho, wo, g, cg)
-        wgt = jnp.where(inb, wgt, 0.0).astype(vdtype)
-        out = out + vals * wgt[..., None]
-    return out
+    wp = w + 2
+    idx = ((y0 + 1.0) * wp + (x0 + 1.0)).astype(jnp.int32)
+    vals = jnp.take_along_axis(
+        patches, idx.reshape(b, ho * wo, g, 1), axis=1
+    ).reshape(b, ho, wo, g, 4, cg)
+
+    wgt = jnp.stack(
+        [(1 - ty) * (1 - tx), (1 - ty) * tx, ty * (1 - tx), ty * tx], axis=-1
+    )  # [B, Ho, Wo, G, 4]
+    return jnp.einsum("bhwgkc,bhwgk->bhwgc", vals, wgt)
 
 
 def modulated_deform_conv2d(
@@ -113,7 +143,7 @@ def modulated_deform_conv2d(
     base_y = (jnp.arange(ho, dtype=jnp.float32) * stride - padding)[:, None]
     base_x = (jnp.arange(wo, dtype=jnp.float32) * stride - padding)[None, :]
 
-    x_flat = x.reshape(b, h * w, g, cg)
+    patches = _make_patches(x, g)
     w_taps = weight.reshape(k2, g, cg, cout).astype(vdtype)
 
     out = jnp.zeros((b, ho, wo, cout), dtype=jnp.float32)
@@ -121,7 +151,7 @@ def modulated_deform_conv2d(
         ki, kj = divmod(k, kw)
         py = base_y[None, :, :, None] + ki * dilation + offset[..., k, 0]
         px = base_x[None, :, :, None] + kj * dilation + offset[..., k, 1]
-        val = _bilinear_gather_grouped(x_flat, py, px, h, w)  # [B,Ho,Wo,G,Cg]
+        val = _bilinear_gather_grouped(patches, py, px, h, w)  # [B,Ho,Wo,G,Cg]
         if mask is not None:
             val = val * mask[..., k, None]
         out = out + jnp.einsum(
