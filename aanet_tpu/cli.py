@@ -293,6 +293,7 @@ def cmd_inference(args):
     mean_s = run_inference(
         cfg, out, save_type=args.save_type, visualize=args.visualize,
         count_time=args.count_time, num_images=args.num_images,
+        model_parallel=args.model_parallel,
     )
     if mean_s is not None:
         print(json.dumps({"mean_inference_seconds": mean_s}))
@@ -305,6 +306,7 @@ def cmd_predict(args):
     predict_pairs(
         cfg, args.data_dir, output_dir=args.output_dir,
         save_type=args.save_type, visualize=args.visualize,
+        model_parallel=args.model_parallel,
     )
 
 
@@ -337,6 +339,9 @@ def main(argv=None):
         p.add_argument("--visualize", action="store_true")
         p.add_argument("--count_time", action="store_true")
         p.add_argument("--num_images", type=int, default=100)
+        p.add_argument("--model_parallel", type=int, default=1,
+                       help="width-shard each pair over this many devices "
+                       "('model' mesh axis) for beyond-HBM resolutions")
         p.set_defaults(fn=fn)
 
     args = parser.parse_args(argv)

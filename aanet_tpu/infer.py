@@ -48,9 +48,34 @@ def _pad_top_right(arr: np.ndarray, h: int, w: int) -> np.ndarray:
     return np.pad(arr, pads)
 
 
-def build_forward(model, variables):
+def build_forward(model, variables, model_parallel: int = 1):
     # Parameters are jit ARGUMENTS (closure-captured arrays become baked-in
     # constants: pathological compile time and >100x slower programs).
+    if model_parallel > 1:
+        # Width-shard each pair over `model_parallel` devices: one
+        # very-high-resolution image's activations split across chips
+        # (parallel/spatial.py; XLA inserts the halo collectives).
+        from aanet_tpu.parallel.mesh import make_mesh
+        from aanet_tpu.parallel.spatial import (
+            image_sharding,
+            make_spatial_forward,
+        )
+
+        n = len(jax.devices())
+        assert model_parallel <= n, (model_parallel, n)
+        mesh = make_mesh(data=n // model_parallel, model=model_parallel)
+        sfwd = make_spatial_forward(model, mesh)
+        sh = image_sharding(mesh)
+
+        def forward(left, right):
+            return sfwd(
+                variables,
+                jax.device_put(left, sh),
+                jax.device_put(right, sh),
+            )[-1]
+
+        return forward
+
     fwd = jax.jit(lambda v, l, r: model.apply(v, l, r, train=False)[-1])
 
     def forward(left, right):
@@ -94,6 +119,7 @@ def run_inference(
     visualize: bool = False,
     count_time: bool = False,
     num_images: int = 100,
+    model_parallel: int = 1,
     logger=None,
 ) -> Optional[float]:
     """Returns mean per-image forward seconds when count_time, else None."""
@@ -103,7 +129,7 @@ def run_inference(
     variables = init_variables(
         model, cfg.train.pretrained, strict=cfg.train.strict_load
     )
-    forward = build_forward(model, variables)
+    forward = build_forward(model, variables, model_parallel)
 
     ds = StereoDataset(
         d.data_dir,
@@ -162,6 +188,7 @@ def predict_pairs(
     output_dir: Optional[str] = None,
     save_type: str = "png",
     visualize: bool = False,
+    model_parallel: int = 1,
     logger=None,
 ):
     """Run on {data_dir}/left/*.png + {data_dir}/right/*.png pairs."""
@@ -170,7 +197,7 @@ def predict_pairs(
     variables = init_variables(
         model, cfg.train.pretrained, strict=cfg.train.strict_load
     )
-    forward = build_forward(model, variables)
+    forward = build_forward(model, variables, model_parallel)
 
     lefts = sorted(
         glob.glob(os.path.join(data_dir, "left", "*.png"))

@@ -7,6 +7,11 @@ from aanet_tpu.parallel.mesh import (
     batch_sharding,
     replicated_sharding,
 )
+from aanet_tpu.parallel.spatial import (
+    image_sharding,
+    make_spatial_forward,
+    shard_images,
+)
 
 __all__ = [
     "make_mesh",
@@ -14,4 +19,7 @@ __all__ = [
     "replicate",
     "batch_sharding",
     "replicated_sharding",
+    "image_sharding",
+    "make_spatial_forward",
+    "shard_images",
 ]

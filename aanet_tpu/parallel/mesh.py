@@ -9,8 +9,9 @@ cross-replica BN statistics reductions (SyncBatchNorm) automatically over
 ICI/DCN. Multi-host extends this by calling `jax.distributed.initialize`
 before mesh construction — no backend plumbing in user code.
 
-A second (currently size-1 by default) `model` axis is provisioned for
-optional intra-sample sharding of the cost-volume pyramid (SURVEY §5).
+A second `model` axis carries optional intra-sample width sharding of
+the cost-volume pyramid / refinement (SURVEY §5) — see
+`aanet_tpu.parallel.spatial`.
 """
 from __future__ import annotations
 
