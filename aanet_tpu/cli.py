@@ -56,7 +56,18 @@ def maybe_init_distributed(logger=None) -> bool:
         return False
     import jax
 
-    jax.distributed.initialize()
+    # Explicit triple for generic clusters (jax's auto-detection only
+    # covers TPU pods / Slurm / OpenMPI / k8s); exercised for real by the
+    # 2-process CPU test (tests/test_multihost.py).
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coord:
+        jax.distributed.initialize(
+            coordinator_address=coord,
+            num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
+            process_id=int(os.environ["JAX_PROCESS_ID"]),
+        )
+    else:
+        jax.distributed.initialize()
     if logger is not None:
         logger.info(
             f"jax.distributed initialized: process "

@@ -55,6 +55,10 @@ def build_forward(model, variables, model_parallel: int = 1):
         # Width-shard each pair over `model_parallel` devices: one
         # very-high-resolution image's activations split across chips
         # (parallel/spatial.py; XLA inserts the halo collectives).
+        # The data axis is fixed at 1 (batch replicated): this path's
+        # use-case is beyond-HBM pairs at small/ragged batch sizes, so
+        # sizing data from the device count would make batch-1 predict
+        # crash in device_put whenever n_devices > model_parallel.
         from aanet_tpu.parallel.mesh import make_mesh
         from aanet_tpu.parallel.spatial import (
             image_sharding,
@@ -62,12 +66,26 @@ def build_forward(model, variables, model_parallel: int = 1):
         )
 
         n = len(jax.devices())
-        assert model_parallel <= n, (model_parallel, n)
-        mesh = make_mesh(data=n // model_parallel, model=model_parallel)
+        if model_parallel > n:
+            raise ValueError(
+                f"--model_parallel {model_parallel} exceeds the "
+                f"{n} available devices"
+            )
+        mesh = make_mesh(
+            data=1,
+            model=model_parallel,
+            devices=jax.devices()[:model_parallel],
+        )
         sfwd = make_spatial_forward(model, mesh)
         sh = image_sharding(mesh)
 
         def forward(left, right):
+            if left.shape[2] % model_parallel:
+                raise ValueError(
+                    f"padded image width {left.shape[2]} is not divisible "
+                    f"by --model_parallel {model_parallel}; pick an "
+                    f"img_width that is a multiple of it"
+                )
             return sfwd(
                 variables,
                 jax.device_put(left, sh),
@@ -224,7 +242,7 @@ def predict_pairs(
         lb = _pad_top_right(left[None], ph, pw)
         rb = _pad_top_right(right[None], ph, pw)
         pred = np.asarray(forward(jnp.asarray(lb), jnp.asarray(rb)))[0]
-        pred = pred[ph - ori_h :, : ori_w if pw == ori_w else ori_w]
+        pred = pred[ph - ori_h :, :ori_w]
         name = os.path.join(output_dir, os.path.basename(lp))
         _save_disp(pred, name, save_type, visualize)
         logger.info(f"saved {name}")

@@ -93,10 +93,15 @@ def _bilinear_gather_grouped(
         patches, idx.reshape(b, ho * wo, g, 1), axis=1
     ).reshape(b, ho, wo, g, 4, cg)
 
-    wgt = jnp.stack(
-        [(1 - ty) * (1 - tx), (1 - ty) * tx, ty * (1 - tx), ty * tx], axis=-1
-    )  # [B, Ho, Wo, G, 4]
-    return jnp.einsum("bhwgkc,bhwgk->bhwgc", vals, wgt)
+    # Explicit 4-corner fused multiply-add, NOT an einsum: a k=4
+    # dot-general takes a slow non-MXU path (measured: bf16 aggregation
+    # 0.66 ms vs 0.45 ms f32 in round 3, docs/PERF_r03.md); elementwise
+    # FMAs fuse on the VPU in any dtype. ty/tx are already in vdtype.
+    ty = ty[..., None]
+    tx = tx[..., None]
+    top = vals[..., 0, :] + tx * (vals[..., 1, :] - vals[..., 0, :])
+    bot = vals[..., 2, :] + tx * (vals[..., 3, :] - vals[..., 2, :])
+    return top + ty * (bot - top)
 
 
 def modulated_deform_conv2d(

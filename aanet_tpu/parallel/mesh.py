@@ -61,8 +61,20 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(batch, mesh: Mesh):
     """Place a dict of [B, ...] arrays with B sharded over 'data'.
-    Non-array values (e.g. filename lists) pass through untouched."""
+    Non-array values (e.g. filename lists) pass through untouched.
+
+    Multi-process: each host passes its LOCAL shard of the global batch
+    (what `make_train_loader` yields) and the global array is assembled
+    across hosts — the multi-host analog of the reference's per-process
+    DistributedSampler batches (`dataloader/dataloader.py:173,180`)."""
     sh = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return {
+            k: jax.make_array_from_process_local_data(sh, np.asarray(v))
+            if hasattr(v, "shape")
+            else v
+            for k, v in batch.items()
+        }
     return {
         k: jax.device_put(v, sh) if hasattr(v, "shape") else v
         for k, v in batch.items()

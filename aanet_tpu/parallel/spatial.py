@@ -50,15 +50,21 @@ def make_spatial_forward(model, mesh: Mesh, train: bool = False):
 
 def shard_images(batch: dict, mesh: Mesh) -> dict:
     """Place left/right (and any other NHWC array) with width sharding;
-    everything else batch-sharded over 'data' as usual."""
+    per-batch arrays over 'data'; anything that cannot legally carry a
+    'data' spec (scalars, leading dims not divisible by the data axis)
+    is replicated rather than raising mid-pipeline."""
     img = image_sharding(mesh)
     dp = NamedSharding(mesh, P("data"))
+    rep = NamedSharding(mesh, P())
+    data_size = mesh.shape["data"]
     out = {}
     for k, v in batch.items():
         if not hasattr(v, "shape"):
             out[k] = v
-        elif getattr(v, "ndim", 0) == 4:
+        elif getattr(v, "ndim", 0) == 4 and v.shape[2] % mesh.shape["model"] == 0:
             out[k] = jax.device_put(v, img)
-        else:
+        elif getattr(v, "ndim", 0) >= 1 and v.shape[0] % data_size == 0:
             out[k] = jax.device_put(v, dp)
+        else:
+            out[k] = jax.device_put(v, rep)
     return out

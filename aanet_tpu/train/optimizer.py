@@ -58,7 +58,6 @@ def make_optimizer(
     update step).
     """
     mask = offset_param_mask(params)
-    inv_mask = jax.tree.map(lambda b: not b, mask)
     chain = [
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
@@ -69,5 +68,4 @@ def make_optimizer(
         chain.append(optax.scale(-learning_rate))
     # offset_conv params at 0.1x — applied after the LR scale
     chain.append(optax.masked(optax.scale(offset_lr_mult), mask))
-    del inv_mask
     return optax.chain(*chain)
