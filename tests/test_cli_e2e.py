@@ -9,6 +9,7 @@ from PIL import Image
 
 from aanet_tpu.data import file_io
 
+pytestmark = pytest.mark.slow  # full CLI train/eval/infer/predict: >10 min
 
 TINY_MODEL_FLAGS = [
     "--max_disp", "24",

@@ -39,6 +39,7 @@ def _forward(name, h, w, max_disp=48):
     return model.apply(variables, left, right, train=False)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("name,size,max_disp,n_out", CASES)
 def test_preset_forward(name, size, max_disp, n_out):
     h, w = size

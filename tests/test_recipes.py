@@ -81,6 +81,7 @@ def test_vendored_filename_lists_resolve():
     assert "disp_occ_0_pseudo_gt" in ds.samples[0]["pseudo_disp"]
 
 
+@pytest.mark.slow
 def test_recipe_cli_end_to_end(tmp_path):
     """`python -m aanet_tpu.cli train --recipe aanet+_sceneflow` against a
     stub data dir (VERDICT r2 next-round item 7 done-criterion); tiny

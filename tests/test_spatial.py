@@ -35,6 +35,7 @@ def _tiny_model():
     )
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
 def test_width_sharded_forward_matches_unsharded():
     model = _tiny_model()

@@ -77,6 +77,89 @@ def test_pyramid_loss_empty_mask_is_finite():
     assert float(total) == 0.0
 
 
+def test_pseudo_gt_loss_covers_only_invalid_gt_pixels():
+    """Numeric check of the pseudo-GT branch (reference model.py:73-76,
+    127-132): the pseudo term supervises exactly (~mask & pseudo_valid)
+    pixels and total = disp_loss + pseudo_loss."""
+    rs = np.random.RandomState(3)
+    pred = jnp.asarray(rs.rand(1, 8, 8).astype(np.float32) * 10)
+    gt = np.zeros((1, 8, 8), np.float32)
+    gt[:, :, :4] = 5.0  # right half has no GT
+    gt = jnp.asarray(gt)
+    pseudo = jnp.asarray(rs.rand(1, 8, 8).astype(np.float32) * 10 + 1)
+    mask = validity_mask(gt, 24)
+    pseudo_mask = validity_mask(pseudo, 24) & (~mask)
+
+    total, aux = pyramid_loss(
+        [pred], gt, mask, pseudo_gt_disp=pseudo, pseudo_mask=pseudo_mask
+    )
+    assert float(aux["pseudo_loss"]) > 0.0
+    np.testing.assert_allclose(
+        float(total),
+        float(aux["disp_loss"]) + float(aux["pseudo_loss"]),
+        rtol=1e-6,
+    )
+    # golden: hand-computed masked means over the two disjoint regions
+    want_disp = np.asarray(smooth_l1(pred, gt))[np.asarray(mask)].mean()
+    want_pseudo = np.asarray(smooth_l1(pred, pseudo))[np.asarray(pseudo_mask)].mean()
+    np.testing.assert_allclose(float(aux["disp_loss"]), want_disp, rtol=1e-5)
+    np.testing.assert_allclose(float(aux["pseudo_loss"]), want_pseudo, rtol=1e-5)
+
+    # perturbing pseudo on GT-VALID pixels must not change the loss at all
+    pseudo2 = np.asarray(pseudo).copy()
+    pseudo2[:, :, :4] += 100.0
+    total2, aux2 = pyramid_loss(
+        [pred], gt, mask, pseudo_gt_disp=jnp.asarray(pseudo2),
+        pseudo_mask=pseudo_mask,
+    )
+    np.testing.assert_allclose(float(total2), float(total), rtol=1e-6)
+    # ... while perturbing it on the uncovered pixels must
+    pseudo3 = np.asarray(pseudo).copy()
+    pseudo3[:, :, 4:] += 3.0
+    total3, _ = pyramid_loss(
+        [pred], gt, mask, pseudo_gt_disp=jnp.asarray(pseudo3),
+        pseudo_mask=pseudo_mask,
+    )
+    assert abs(float(total3) - float(total)) > 1e-3
+
+
+@pytest.mark.slow
+def test_train_step_with_pseudo_disp_batch():
+    """End-to-end: make_train_step consumes a batch carrying pseudo_disp
+    (the KITTI fine-tune recipes' supervision path) — the pseudo term must
+    actually contribute (total_loss > disp_loss) and training must step."""
+    model = _tiny_model()
+    tx_probe = optax.identity()
+    state0 = create_train_state(model, jax.random.PRNGKey(2), (32, 64), tx_probe)
+    tx = make_optimizer(state0.params, 1e-3, weight_decay=0.0)
+    state = TrainState.create(
+        apply_fn=model.apply,
+        params=state0.params,
+        batch_stats=state0.batch_stats,
+        tx=tx,
+    )
+    batch = _synthetic_batch(batch=2, h=32, w=64)
+    # knock out GT on the right half; pseudo-GT covers the whole image
+    disp = batch["disp"].copy()
+    disp[:, :, 32:] = 0.0
+    batch["disp"] = disp
+    batch["pseudo_disp"] = np.full((2, 32, 64), 4.0, np.float32)
+
+    # snapshot first: the jitted step donates the input state's buffers
+    p_before = jax.tree.leaves(jax.device_get(state.params))
+    step = make_train_step(model, max_disp=24)
+    new_state, metrics = step(state, batch)
+    total = float(metrics["total_loss"])
+    disp_l = float(metrics["disp_loss"])
+    assert np.isfinite(total)
+    assert total > disp_l + 1e-6, (total, disp_l)
+    p_after = jax.tree.leaves(new_state.params)
+    assert any(
+        not np.allclose(np.asarray(a), np.asarray(b))
+        for a, b in zip(p_before, p_after)
+    )
+
+
 def test_offset_params_get_scaled_lr():
     params = {
         "block": {"kernel": jnp.ones((4,))},
@@ -128,6 +211,7 @@ def _synthetic_batch(batch=8, h=48, w=96, d=4.0, seed=0):
     return {"left": left, "right": right, "disp": disp}
 
 
+@pytest.mark.slow
 def test_train_step_overfits_synthetic_pair_on_mesh():
     """End-to-end: jitted data-parallel train step with accumulation=2 on
     the 8-device CPU mesh; loss must drop substantially and the final
@@ -162,6 +246,7 @@ def test_train_step_overfits_synthetic_pair_on_mesh():
     assert float(m["epe"]) < 4.0  # at-init EPE is ~disparity magnitude
 
 
+@pytest.mark.slow
 def test_freeze_bn_keeps_stats_and_remat_active():
     """freeze_bn (reference model.py:40-47): BN must use running stats and
     batch_stats must not change, while the training trace still carries
