@@ -305,6 +305,7 @@ def cmd_inference(args):
         cfg, out, save_type=args.save_type, visualize=args.visualize,
         count_time=args.count_time, num_images=args.num_images,
         model_parallel=args.model_parallel,
+        data_parallel=args.data_parallel,
     )
     if mean_s is not None:
         print(json.dumps({"mean_inference_seconds": mean_s}))
@@ -353,6 +354,10 @@ def main(argv=None):
         p.add_argument("--model_parallel", type=int, default=1,
                        help="width-shard each pair over this many devices "
                        "('model' mesh axis) for beyond-HBM resolutions")
+        p.add_argument("--data_parallel", type=int, default=1,
+                       help="shard the inference batch over this many "
+                       "devices (the reference's nn.DataParallel eval "
+                       "path, inference.py:131-133); inference only")
         p.set_defaults(fn=fn)
 
     args = parser.parse_args(argv)

@@ -48,9 +48,14 @@ def _pad_top_right(arr: np.ndarray, h: int, w: int) -> np.ndarray:
     return np.pad(arr, pads)
 
 
-def build_forward(model, variables, model_parallel: int = 1):
+def build_forward(model, variables, model_parallel: int = 1, data_parallel: int = 1):
     # Parameters are jit ARGUMENTS (closure-captured arrays become baked-in
     # constants: pathological compile time and >100x slower programs).
+    if model_parallel > 1 and data_parallel > 1:
+        raise ValueError(
+            "pick one of --model_parallel (width sharding) or "
+            "--data_parallel (batch sharding) for inference"
+        )
     if model_parallel > 1:
         # Width-shard each pair over `model_parallel` devices: one
         # very-high-resolution image's activations split across chips
@@ -91,6 +96,47 @@ def build_forward(model, variables, model_parallel: int = 1):
                 jax.device_put(left, sh),
                 jax.device_put(right, sh),
             )[-1]
+
+        return forward
+
+    if data_parallel > 1:
+        # Batch-axis sharded inference: the reference's nn.DataParallel
+        # eval path (`/root/reference/inference.py:131-133`), TPU-native —
+        # one global-view jit over a data mesh, outputs replicated.
+        # Callers pad the batch to a multiple of data_parallel
+        # (run_inference pads ragged final batches and crops after).
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from aanet_tpu.parallel.mesh import make_mesh
+
+        n = len(jax.devices())
+        if data_parallel > n:
+            raise ValueError(
+                f"--data_parallel {data_parallel} exceeds the {n} "
+                f"available devices"
+            )
+        mesh = make_mesh(
+            data=data_parallel, model=1, devices=jax.devices()[:data_parallel]
+        )
+        rep = NamedSharding(mesh, P())
+        dp = NamedSharding(mesh, P("data"))
+        sfwd = jax.jit(
+            lambda v, l, r: model.apply(v, l, r, train=False)[-1],
+            in_shardings=(rep, dp, dp),
+            out_shardings=rep,
+        )
+
+        def forward(left, right):
+            if left.shape[0] % data_parallel:
+                raise ValueError(
+                    f"batch {left.shape[0]} is not divisible by "
+                    f"--data_parallel {data_parallel}"
+                )
+            return sfwd(
+                variables,
+                jax.device_put(left, dp),
+                jax.device_put(right, dp),
+            )
 
         return forward
 
@@ -138,6 +184,7 @@ def run_inference(
     count_time: bool = False,
     num_images: int = 100,
     model_parallel: int = 1,
+    data_parallel: int = 1,
     logger=None,
 ) -> Optional[float]:
     """Returns mean per-image forward seconds when count_time, else None."""
@@ -147,7 +194,7 @@ def run_inference(
     variables = init_variables(
         model, cfg.train.pretrained, strict=cfg.train.strict_load
     )
-    forward = build_forward(model, variables, model_parallel)
+    forward = build_forward(model, variables, model_parallel, data_parallel)
 
     ds = StereoDataset(
         d.data_dir,
@@ -173,17 +220,26 @@ def run_inference(
             left = _pad_top_right(left, d.img_height, d.img_width)
             right = _pad_top_right(right, d.img_height, d.img_width)
 
+        real_bs = left.shape[0]
+        if data_parallel > 1 and real_bs % data_parallel:
+            # pad the ragged final batch up to a shardable size; the
+            # padded rows are cropped from the predictions below
+            padded = ((real_bs + data_parallel - 1) // data_parallel) * data_parallel
+            pads = [(0, padded - real_bs)] + [(0, 0)] * (left.ndim - 1)
+            left = np.pad(left, pads)
+            right = np.pad(right, pads)
+
         lj, rj = jnp.asarray(left), jnp.asarray(right)
         if i == 0 and count_time:
             for _ in range(10):  # warmup (inference.py:164-168)
                 jax.block_until_ready(forward(lj, rj))
-        num_imgs += left.shape[0]
+        num_imgs += real_bs
         t0 = time.perf_counter()
         pred = forward(lj, rj)
         jax.block_until_ready(pred)
         inference_time += time.perf_counter() - t0
 
-        pred = np.asarray(pred)
+        pred = np.asarray(pred)[:real_bs]
         if pred.shape[2] < left.shape[2]:
             pred = np.asarray(
                 upsample_disparity(jnp.asarray(pred), left.shape[1:3])

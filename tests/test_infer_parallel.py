@@ -1,0 +1,100 @@
+"""Data-axis sharded batch inference (VERDICT r3 item 9): run_inference
+over a multi-device data mesh must produce files IDENTICAL to the
+single-device run — including the ragged final batch, which is padded to
+a shardable size and cropped after (the reference's optional
+nn.DataParallel eval path, `/root/reference/inference.py:131-133`)."""
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from aanet_tpu.config import Config, DataConfig, ModelConfig, TrainConfig
+from aanet_tpu.data.file_io import read_disp, write_pfm
+from aanet_tpu.infer import run_inference
+
+pytestmark = pytest.mark.slow
+
+
+@pytest.fixture()
+def fixture_dataset(tmp_path):
+    data_dir = tmp_path / "data"
+    lists_dir = tmp_path / "lists" / "filenames"
+    os.makedirs(lists_dir, exist_ok=True)
+    for side in ("left", "right", "disp"):
+        os.makedirs(data_dir / side, exist_ok=True)
+    rs = np.random.RandomState(0)
+    lines = []
+    for i in range(6):  # 6 samples, batch 4 => ragged final batch of 2
+        base = rs.rand(48, 96 + 8, 3)
+        base = (base + np.roll(base, 1, 1) + np.roll(base, 2, 1)) / 3
+        right = (base[:, :96] * 255).astype(np.uint8)
+        left = (base[:, 4 : 96 + 4] * 255).astype(np.uint8)
+        Image.fromarray(left).save(data_dir / "left" / f"{i}.png")
+        Image.fromarray(right).save(data_dir / "right" / f"{i}.png")
+        write_pfm(str(data_dir / "disp" / f"{i}.pfm"), np.full((48, 96), 4.0, np.float32))
+        lines.append(f"left/{i}.png right/{i}.png disp/{i}.pfm")
+    for split in ("train", "val", "test"):
+        with open(lists_dir / f"SceneFlow_finalpass_{split}.txt", "w") as f:
+            f.write("\n".join(lines) + "\n")
+    return str(data_dir), str(tmp_path / "lists")
+
+
+def _cfg(data_dir, lists):
+    return Config(
+        model=ModelConfig(
+            max_disp=24,
+            feature_type="aanet",
+            feature_pyramid_network=True,
+            num_fusions=1,
+            num_deform_blocks=0,
+            no_feature_mdconv=True,
+            refinement_type="stereodrnet",
+        ),
+        data=DataConfig(
+            data_dir=data_dir,
+            filename_root=lists,
+            batch_size=4,
+            val_batch_size=4,
+            img_height=48,
+            img_width=96,
+            num_workers=2,
+        ),
+        train=TrainConfig(),
+    )
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_data_parallel_inference_matches_single_device(
+    fixture_dataset, tmp_path
+):
+    data_dir, lists = fixture_dataset
+    cfg = _cfg(data_dir, lists)
+    out1 = str(tmp_path / "out_single")
+    outN = str(tmp_path / "out_dp")
+    run_inference(cfg, out1, save_type="pfm")
+    run_inference(cfg, outN, save_type="pfm", data_parallel=4)
+
+    names = sorted(
+        os.path.relpath(os.path.join(r, f), out1)
+        for r, _, fs in os.walk(out1)
+        for f in fs
+        if f.endswith(".pfm")
+    )
+    assert len(names) == 6, names
+    for n in names:
+        a = read_disp(os.path.join(out1, n))
+        b = read_disp(os.path.join(outN, n))
+        # same per-sample math, but XLA codegens the per-device batch-1
+        # programs differently from the batch-4 one: low-order-bit drift
+        # only (measured max 8.6e-5 px over the 6 files)
+        np.testing.assert_allclose(a, b, atol=1e-3, err_msg=n)
+
+
+def test_data_parallel_rejects_combined_model_parallel(fixture_dataset, tmp_path):
+    from aanet_tpu.infer import build_forward
+
+    with pytest.raises(ValueError, match="pick one"):
+        build_forward(None, None, model_parallel=2, data_parallel=2)
