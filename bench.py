@@ -45,7 +45,12 @@ BASELINE = {  # V100 published (MODEL_ZOO.md:26-27)
     "aanet": 62.0,
     "aanet+": 60.0,
 }
+BASELINE_SF = {  # V100 published, SceneFlow 576x960 (MODEL_ZOO.md:19-20)
+    "aanet": 68.0,
+    "aanet+": 64.0,
+}
 H, W = 384, 1248  # KITTI protocol
+H_SF, W_SF = 576, 960  # SceneFlow protocol
 START = time.perf_counter()
 BUDGET_S = float(os.environ.get("AANET_BENCH_BUDGET_S", "400"))
 
@@ -128,6 +133,23 @@ def bench_variant(name, dtype, variables, left, right, extra):
     return blocked, amortized, pred
 
 
+def bench_sceneflow(variables: dict, extra: dict):
+    """SceneFlow protocol: 576x960 batch 1 f32 (MODEL_ZOO.md:19-20:
+    68 ms AANet / 64 ms AANet+ on V100)."""
+    from aanet_tpu.config import preset
+
+    rs = np.random.RandomState(2)
+    left = jnp.asarray(rs.rand(1, H_SF, W_SF, 3), jnp.float32)
+    right = jnp.asarray(rs.rand(1, H_SF, W_SF, 3), jnp.float32)
+    for name in ("aanet", "aanet+"):
+        if name not in variables:
+            variables[name] = _init_variables(preset(name))
+        forward = _make_forward(preset(name), "float32", variables[name])
+        blocked = _timed(forward, left, right, block_each=True)
+        extra[f"{name}_sf576x960_blocked_latency_ms"] = round(blocked, 3)
+        extra[f"{name}_sf576x960_vs_v100"] = round(BASELINE_SF[name] / blocked, 2)
+
+
 def bench_train_step(extra: dict):
     """Train-step samples/s at the SceneFlow recipe shape
     (README.md:110: 288x576; batch 16 fits one chip with remat)."""
@@ -169,6 +191,41 @@ def bench_train_step(extra: dict):
     extra["train_samples_per_sec"] = round(b / sec, 1)
 
 
+LAST_GOOD = os.path.expanduser("~/.cache/aanet_tpu_xla/bench_last_good.json")
+
+
+def _start_stale_watchdog(headline_done):
+    """The remote backend has intermittent degraded windows (tens of
+    minutes) where even cached-program fetches hang; the main thread then
+    sleeps inside a C call and the driver's timeout yields an EMPTY
+    artifact (round-3 failure mode). If the live headline hasn't printed
+    by the deadline, emit the last successful run's headline, explicitly
+    labeled stale, so the artifact is parseable and honest about what it
+    is. A later fresh measurement still prints (drivers read the last
+    line)."""
+    import threading
+
+    deadline = float(os.environ.get("AANET_BENCH_DEADLINE_S", "420"))
+
+    def watchdog():
+        if not headline_done.wait(deadline):
+            try:
+                with open(LAST_GOOD) as f:
+                    prev = json.load(f)
+            except Exception:
+                return
+            prev.setdefault("extra", {})
+            prev["extra"]["stale_result"] = True
+            prev["extra"]["stale_reason"] = (
+                "backend unresponsive for %.0fs; value is this round's "
+                "last successful on-chip measurement (%s)"
+                % (deadline, prev["extra"].get("measured_at", "unknown time"))
+            )
+            print(json.dumps(prev), flush=True)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+
+
 def main():
     try:
         jax.config.update(
@@ -178,6 +235,11 @@ def main():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
         pass
+
+    import threading
+
+    headline_done = threading.Event()
+    _start_stale_watchdog(headline_done)
 
     from aanet_tpu.config import preset
 
@@ -193,7 +255,22 @@ def main():
     blocked, amortized, preds["aanet_f32"] = bench_variant(
         "aanet", "float32", variables["aanet"], left, right, extra
     )
+    headline_done.set()
     _emit(blocked, amortized, extra)
+    try:  # checkpoint for the stale-watchdog of a future degraded run
+        record = {
+            "metric": "aanet_kitti_384x1248_blocked_latency",
+            "value": round(blocked, 3),
+            "unit": "ms",
+            "vs_baseline": round(BASELINE["aanet"] / blocked, 3),
+            "value_amortized": round(amortized, 3),
+            "extra": dict(extra, measured_at=time.strftime("%Y-%m-%d %H:%M UTC", time.gmtime())),
+        }
+        os.makedirs(os.path.dirname(LAST_GOOD), exist_ok=True)
+        with open(LAST_GOOD, "w") as f:
+            json.dump(record, f)
+    except Exception:
+        pass
 
     # ---- Sweep: each section gated on the remaining wall-clock budget.
     skipped = []
@@ -214,6 +291,7 @@ def main():
             bench_variant("aanet+", "bfloat16", variables["aanet+"], left, right, extra)[2],
         )),
         ("train_step", lambda: bench_train_step(extra)),
+        ("sceneflow_576x960", lambda: bench_sceneflow(variables, extra)),
     ]
     for section_name, run in sections:
         if _elapsed() > BUDGET_S:
