@@ -239,6 +239,12 @@ def run_inference(
         jax.block_until_ready(pred)
         inference_time += time.perf_counter() - t0
 
+        if count_time:
+            # timing mode never saves, so never read the prediction back:
+            # on tunnel backends the first device-to-host readback flips
+            # the session into eager-output-fetch mode and inflates every
+            # subsequent forward (docs/PERF_r04.md §4)
+            continue
         pred = np.asarray(pred)[:real_bs]
         if pred.shape[2] < left.shape[2]:
             pred = np.asarray(
@@ -246,10 +252,9 @@ def run_inference(
             )
         if top or rightp:
             pred = pred[:, top:, : pred.shape[2] - rightp if rightp else None]
-        if not count_time:
-            for b in range(pred.shape[0]):
-                name = os.path.join(output_dir, batch["left_name"][b])
-                _save_disp(pred[b], name, save_type, visualize)
+        for b in range(pred.shape[0]):
+            name = os.path.join(output_dir, batch["left_name"][b])
+            _save_disp(pred[b], name, save_type, visualize)
 
     mean_s = inference_time / max(1, num_imgs)
     logger.info(f"mean inference time for {num_imgs} images: {mean_s:.4f}s")

@@ -120,6 +120,13 @@ def _make_forward(cfg, dtype, variables):
 
 
 def bench_variant(name, dtype, variables, left, right, extra):
+    """Time one {preset, dtype} variant. Returns (blocked, amortized,
+    forward) — the PREDICTION IS NOT FETCHED HERE. On this tunnel
+    backend the first device-to-host readback flips the whole session
+    into eager-output-fetch mode (~120 ms/call on every subsequent
+    execute, any program, irreversibly — bisected in round 4, see
+    docs/PERF_r04.md §4), so all latency sections must run before any
+    np.asarray of a prediction; the bf16-delta preds are fetched last."""
     from aanet_tpu.config import preset
 
     forward = _make_forward(preset(name), dtype, variables)
@@ -129,8 +136,7 @@ def bench_variant(name, dtype, variables, left, right, extra):
     extra[f"{tag}_latency_ms"] = round(amortized, 3)
     extra[f"{tag}_blocked_latency_ms"] = round(blocked, 3)
     extra[f"{tag}_vs_v100_blocked"] = round(BASELINE[name] / blocked, 2)
-    pred = np.asarray(forward(left, right), np.float32)
-    return blocked, amortized, pred
+    return blocked, amortized, forward
 
 
 def bench_sceneflow(variables: dict, extra: dict):
@@ -248,11 +254,11 @@ def main():
     right = jnp.asarray(rs.rand(1, H, W, 3), jnp.float32)
 
     extra: dict = {}
-    preds: dict = {}
+    forwards: dict = {}
     variables = {"aanet": _init_variables(preset("aanet"))}
 
     # ---- Section 1 (never skipped): the headline — aanet f32, then PRINT.
-    blocked, amortized, preds["aanet_f32"] = bench_variant(
+    blocked, amortized, forwards["aanet_f32"] = bench_variant(
         "aanet", "float32", variables["aanet"], left, right, extra
     )
     headline_done.set()
@@ -273,25 +279,42 @@ def main():
         pass
 
     # ---- Sweep: each section gated on the remaining wall-clock budget.
+    # ALL latency sections come before ANY prediction readback (see
+    # bench_variant docstring); the delta section (which must fetch
+    # predictions) is last, followed only by the train step whose own
+    # timing is dominated by a multi-second program.
     skipped = []
+
+    def _deltas():
+        for nm in ("aanet", "aanet+"):
+            f, b = forwards.get(f"{nm}_f32"), forwards.get(f"{nm}_bf16")
+            if f is None or b is None:
+                continue
+            pf = np.asarray(f(left, right), np.float32)
+            pb = np.asarray(b(left, right), np.float32)
+            extra[f"{nm}_bf16_disp_delta_px_mean"] = round(
+                float(np.abs(pb - pf).mean()), 4
+            )
+
     sections = [
-        ("aanet_bf16", lambda: preds.__setitem__(
+        ("aanet_bf16", lambda: forwards.__setitem__(
             "aanet_bf16",
             bench_variant("aanet", "bfloat16", variables["aanet"], left, right, extra)[2],
         )),
         ("aanet+_f32", lambda: (
             variables.setdefault("aanet+", _init_variables(preset("aanet+"))),
-            preds.__setitem__(
+            forwards.__setitem__(
                 "aanet+_f32",
                 bench_variant("aanet+", "float32", variables["aanet+"], left, right, extra)[2],
             ),
         )),
-        ("aanet+_bf16", lambda: preds.__setitem__(
+        ("aanet+_bf16", lambda: forwards.__setitem__(
             "aanet+_bf16",
             bench_variant("aanet+", "bfloat16", variables["aanet+"], left, right, extra)[2],
         )),
-        ("train_step", lambda: bench_train_step(extra)),
         ("sceneflow_576x960", lambda: bench_sceneflow(variables, extra)),
+        ("train_step", lambda: bench_train_step(extra)),  # blocks, never reads
+        ("bf16_delta", _deltas),  # first D2H: everything after is poisoned
     ]
     for section_name, run in sections:
         if _elapsed() > BUDGET_S:
@@ -301,12 +324,6 @@ def main():
             run()
         except Exception as e:  # a sweep section must never sink the artifact
             extra[f"{section_name}_error"] = repr(e)[:200]
-        for nm in ("aanet", "aanet+"):
-            if f"{nm}_bf16" in preds and f"{nm}_f32" in preds:
-                key = f"{nm}_bf16_disp_delta_px_mean"
-                if key not in extra:
-                    d = np.abs(preds[f"{nm}_bf16"] - preds[f"{nm}_f32"])
-                    extra[key] = round(float(d.mean()), 4)
     if skipped:
         extra["sweep_truncated"] = skipped
     extra["bench_wall_s"] = round(_elapsed(), 1)
