@@ -157,8 +157,22 @@ def bench_sceneflow(variables: dict, extra: dict):
 
 
 def bench_train_step(extra: dict):
-    """Train-step samples/s at the SceneFlow recipe shape
-    (README.md:110: 288x576; batch 16 fits one chip with remat)."""
+    """Train-step samples/s at the SceneFlow recipe shape (README.md:110:
+    288x576; batch 16 fits one chip with remat). The remote-compile
+    helper intermittently 500s on this (largest) program — fall back to
+    smaller batches so the artifact still carries a throughput number."""
+    last = None
+    for b in (16, 8, 4):
+        try:
+            _bench_train_step_b(extra, b)
+            return
+        except Exception as e:
+            last = e
+            extra.setdefault("train_step_failed_batches", []).append(b)
+    raise last
+
+
+def _bench_train_step_b(extra: dict, b: int):
     import optax
 
     from aanet_tpu.config import preset
@@ -167,7 +181,7 @@ def bench_train_step(extra: dict):
     from aanet_tpu.train.trainer import make_train_step
 
     model = preset("aanet").build()
-    h, w, b = 288, 576, 16
+    h, w = 288, 576
     state0 = create_train_state(
         model, jax.random.PRNGKey(0), (h, w), optax.identity()
     )
@@ -193,7 +207,7 @@ def bench_train_step(extra: dict):
         state, m = step(state, batch)
     jax.block_until_ready(m)
     sec = (time.perf_counter() - t0) / iters
-    extra["train_step_ms_b16_288x576"] = round(sec * 1000.0, 1)
+    extra[f"train_step_ms_b{b}_288x576"] = round(sec * 1000.0, 1)
     extra["train_samples_per_sec"] = round(b / sec, 1)
 
 
