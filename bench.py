@@ -328,7 +328,6 @@ def main():
         )),
         ("sceneflow_576x960", lambda: bench_sceneflow(variables, extra)),
         ("train_step", lambda: bench_train_step(extra)),  # blocks, never reads
-        ("bf16_delta", _deltas),  # first D2H: everything after is poisoned
     ]
     for section_name, run in sections:
         if _elapsed() > BUDGET_S:
@@ -338,6 +337,14 @@ def main():
             run()
         except Exception as e:  # a sweep section must never sink the artifact
             extra[f"{section_name}_error"] = repr(e)[:200]
+    # The delta check always runs LAST and unconditionally: it is the
+    # first (and only) device-to-host readback — everything after it
+    # would be poisoned (§ bench_variant docstring) — and it costs only
+    # seconds on the already-compiled forwards.
+    try:
+        _deltas()
+    except Exception as e:
+        extra["bf16_delta_error"] = repr(e)[:200]
     if skipped:
         extra["sweep_truncated"] = skipped
     extra["bench_wall_s"] = round(_elapsed(), 1)
