@@ -61,6 +61,19 @@ def maybe_init_distributed(logger=None) -> bool:
     # 2-process CPU test (tests/test_multihost.py).
     coord = os.environ.get("JAX_COORDINATOR_ADDRESS")
     if coord:
+        missing = [
+            v
+            for v in ("JAX_NUM_PROCESSES", "JAX_PROCESS_ID")
+            if v not in os.environ
+        ]
+        if missing:
+            raise ValueError(
+                "JAX_COORDINATOR_ADDRESS is set but "
+                f"{' and '.join(missing)} "
+                "missing — all three must be provided together for an "
+                "explicit cluster (or unset all three to use "
+                "jax.distributed auto-detection)"
+            )
         jax.distributed.initialize(
             coordinator_address=coord,
             num_processes=int(os.environ["JAX_NUM_PROCESSES"]),
@@ -319,6 +332,7 @@ def cmd_predict(args):
         cfg, args.data_dir, output_dir=args.output_dir,
         save_type=args.save_type, visualize=args.visualize,
         model_parallel=args.model_parallel,
+        data_parallel=args.data_parallel,
     )
 
 
@@ -355,9 +369,9 @@ def main(argv=None):
                        help="width-shard each pair over this many devices "
                        "('model' mesh axis) for beyond-HBM resolutions")
         p.add_argument("--data_parallel", type=int, default=1,
-                       help="shard the inference batch over this many "
-                       "devices (the reference's nn.DataParallel eval "
-                       "path, inference.py:131-133); inference only")
+                       help="shard the inference/predict batch over this "
+                       "many devices (the reference's nn.DataParallel "
+                       "eval path, inference.py:131-133)")
         p.set_defaults(fn=fn)
 
     args = parser.parse_args(argv)

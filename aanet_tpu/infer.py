@@ -230,21 +230,32 @@ def run_inference(
             right = np.pad(right, pads)
 
         lj, rj = jnp.asarray(left), jnp.asarray(right)
-        if i == 0 and count_time:
-            for _ in range(10):  # warmup (inference.py:164-168)
-                jax.block_until_ready(forward(lj, rj))
+        if count_time:
+            # Execution-forcing protocol (aanet_tpu/utils/timing.py): K
+            # chained forwards in one jitted scan + one readback, minus
+            # the tunnel RTT. `block_until_ready` does NOT force
+            # execution on this backend (docs/PERF_r05.md §1 — rounds
+            # 1-4 recorded dispatch time here). Deviation from the
+            # reference's loop-of-100 (`inference.py:164-175`): one
+            # full-batch measurement instead of per-image accumulation —
+            # same protocol size, and padded rows never skew the mean.
+            from aanet_tpu.utils.timing import scan_latency_s
+
+            iters = int(max(2, min(num_images, 8)))
+            sec = scan_latency_s(forward, (lj, rj), n_iters=iters)
+            mean_s = sec / lj.shape[0]
+            logger.info(
+                f"mean inference time per pair at "
+                f"{lj.shape[1]}x{lj.shape[2]} batch {lj.shape[0]}: "
+                f"{mean_s:.4f}s ({iters} chained forwards)"
+            )
+            return mean_s
         num_imgs += real_bs
         t0 = time.perf_counter()
         pred = forward(lj, rj)
         jax.block_until_ready(pred)
         inference_time += time.perf_counter() - t0
 
-        if count_time:
-            # timing mode never saves, so never read the prediction back:
-            # on tunnel backends the first device-to-host readback flips
-            # the session into eager-output-fetch mode and inflates every
-            # subsequent forward (docs/PERF_r04.md §4)
-            continue
         pred = np.asarray(pred)[:real_bs]
         if pred.shape[2] < left.shape[2]:
             pred = np.asarray(
@@ -256,9 +267,8 @@ def run_inference(
             name = os.path.join(output_dir, batch["left_name"][b])
             _save_disp(pred[b], name, save_type, visualize)
 
-    mean_s = inference_time / max(1, num_imgs)
-    logger.info(f"mean inference time for {num_imgs} images: {mean_s:.4f}s")
-    return mean_s if count_time else None
+    logger.info(f"saved predictions for {num_imgs} images")
+    return None
 
 
 def predict_pairs(
@@ -268,15 +278,22 @@ def predict_pairs(
     save_type: str = "png",
     visualize: bool = False,
     model_parallel: int = 1,
+    data_parallel: int = 1,
     logger=None,
 ):
-    """Run on {data_dir}/left/*.png + {data_dir}/right/*.png pairs."""
+    """Run on {data_dir}/left/*.png + {data_dir}/right/*.png pairs.
+
+    data_parallel > 1 batches up to that many pairs per forward over a
+    data mesh (same ragged pad-and-crop handling as run_inference);
+    pairs in one chunk are padded to the chunk's common 48/96-multiple
+    size, and each prediction is cropped back to its own original size.
+    """
     logger = logger or get_logger()
     model = cfg.model.build()
     variables = init_variables(
         model, cfg.train.pretrained, strict=cfg.train.strict_load
     )
-    forward = build_forward(model, variables, model_parallel)
+    forward = build_forward(model, variables, model_parallel, data_parallel)
 
     lefts = sorted(
         glob.glob(os.path.join(data_dir, "left", "*.png"))
@@ -290,20 +307,37 @@ def predict_pairs(
     std = np.asarray(IMAGENET_STD, np.float32)
     # pad multiple: 48; 96 when hourglass refinement (predict.py:148-151)
     factor = 96 if cfg.model.refinement_type == "hourglass" else 48
+    chunk = max(1, data_parallel)
 
-    for lp in lefts:
-        rp = os.path.join(data_dir, "right", os.path.basename(lp))
-        left = read_img(lp) / 255.0
-        right = read_img(rp) / 255.0
-        left = (left - mean) / std
-        right = (right - mean) / std
-        ori_h, ori_w = left.shape[:2]
-        ph = ((ori_h + factor - 1) // factor) * factor
-        pw = ((ori_w + factor - 1) // factor) * factor
-        lb = _pad_top_right(left[None], ph, pw)
-        rb = _pad_top_right(right[None], ph, pw)
-        pred = np.asarray(forward(jnp.asarray(lb), jnp.asarray(rb)))[0]
-        pred = pred[ph - ori_h :, :ori_w]
-        name = os.path.join(output_dir, os.path.basename(lp))
-        _save_disp(pred, name, save_type, visualize)
-        logger.info(f"saved {name}")
+    for c0 in range(0, len(lefts), chunk):
+        paths = lefts[c0 : c0 + chunk]
+        imgs = []
+        for lp in paths:
+            rp = os.path.join(data_dir, "right", os.path.basename(lp))
+            left = (read_img(lp) / 255.0 - mean) / std
+            right = (read_img(rp) / 255.0 - mean) / std
+            imgs.append((left, right))
+        # common padded size for the chunk
+        ph = max(
+            ((l.shape[0] + factor - 1) // factor) * factor for l, _ in imgs
+        )
+        pw = max(
+            ((l.shape[1] + factor - 1) // factor) * factor for l, _ in imgs
+        )
+        lb = np.concatenate([_pad_top_right(l[None], ph, pw) for l, _ in imgs])
+        rb = np.concatenate([_pad_top_right(r[None], ph, pw) for _, r in imgs])
+        real_bs = lb.shape[0]
+        if data_parallel > 1 and real_bs % data_parallel:
+            padded = (
+                (real_bs + data_parallel - 1) // data_parallel
+            ) * data_parallel
+            pads = [(0, padded - real_bs)] + [(0, 0)] * (lb.ndim - 1)
+            lb = np.pad(lb, pads)
+            rb = np.pad(rb, pads)
+        preds = np.asarray(forward(jnp.asarray(lb), jnp.asarray(rb)))[:real_bs]
+        for (left, _), lp, pred in zip(imgs, paths, preds):
+            ori_h, ori_w = left.shape[:2]
+            pred = pred[ph - ori_h :, :ori_w]
+            name = os.path.join(output_dir, os.path.basename(lp))
+            _save_disp(pred, name, save_type, visualize)
+            logger.info(f"saved {name}")

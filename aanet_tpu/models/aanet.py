@@ -220,6 +220,24 @@ class AANet(nn.Module):
             if use_remat:
                 left_feature = feat_fn(self, left_img)
                 right_feature = feat_fn(self, right_img)
+            elif not train:
+                # Inference: ONE feature pass over both views stacked on
+                # the batch axis — mathematically exact (weights shared,
+                # BN in running-stats mode) and ~2x fewer small-kernel
+                # dispatches in the backbone, which is dominated by
+                # per-op overhead at batch 1. Training keeps two calls
+                # so BN batch statistics update once per view, exactly
+                # like the reference's sequential forwards
+                # (nets/aanet.py:213-214).
+                n = left_img.shape[0]
+                feats = self.feature_extraction(
+                    jnp.concatenate([left_img, right_img], axis=0), train
+                )
+                if isinstance(feats, (list, tuple)):
+                    left_feature = [f[:n] for f in feats]
+                    right_feature = [f[n:] for f in feats]
+                else:
+                    left_feature, right_feature = feats[:n], feats[n:]
             else:
                 left_feature = self.feature_extraction(left_img, train)
                 right_feature = self.feature_extraction(right_img, train)

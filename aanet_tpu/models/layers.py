@@ -25,6 +25,7 @@ import jax.numpy as jnp
 
 from aanet_tpu.ops.deform import modulated_deform_conv2d, deform_conv2d
 from aanet_tpu.ops.precision import compute_dtype
+from aanet_tpu.ops.s2d import conv_s2d
 
 # Trace-time "BN frozen" flag, scoped by AANet.__call__. The reference's
 # freeze_bn fine-tune mode (model.py:40-47) puts every BN in eval mode
@@ -54,10 +55,35 @@ def _pair(v, n=2):
     return tuple(v) if isinstance(v, (tuple, list)) else (v,) * n
 
 
+class _ConvParams(nn.Module):
+    """Declares nn.Conv-shaped params (kernel [+bias]) without applying
+    the conv — used by the s2d execution path so parameter paths, shapes,
+    init, and creation order stay IDENTICAL to the dense path (checkpoints
+    and the torch-transplant parity harness are layout-agnostic)."""
+
+    shape: Any  # (kh, kw, cin, cout)
+    use_bias: bool
+    kernel_init: Any
+
+    @nn.compact
+    def __call__(self):
+        k = self.param("kernel", self.kernel_init, tuple(self.shape), jnp.float32)
+        b = (
+            self.param("bias", nn.initializers.zeros, (self.shape[-1],), jnp.float32)
+            if self.use_bias
+            else None
+        )
+        return k, b
+
+
 class Conv(nn.Module):
     """Conv2d/3d with torch-style explicit padding.
 
     kernel_size of length 3 => 3-D conv over (D, H, W) with NDHWC layout.
+
+    s2d=True: the input is in space-to-depth(2) layout ([B, H/2, W/2, 4C])
+    and the conv runs with an expanded kernel (ops/s2d.py) — exact same
+    math, MXU-friendly channel widths. Requires k=3, stride 1, 2-D.
     """
 
     features: int
@@ -68,9 +94,24 @@ class Conv(nn.Module):
     groups: int = 1
     use_bias: bool = False
     kernel_init: Any = kaiming_out
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x):
+        if self.s2d:
+            assert self.kernel_size == 3 and self.stride == 1
+            assert self.groups == 1 and self.padding == self.dilation
+            cin = x.shape[-1] // 4
+            kernel, bias = _ConvParams(
+                (3, 3, cin, self.features),
+                self.use_bias,
+                self.kernel_init,
+                name="Conv_0",  # the auto-name nn.Conv would get
+            )()
+            dt = compute_dtype() or x.dtype
+            return conv_s2d(
+                x.astype(dt), kernel, bias, self.dilation
+            )
         ks = _pair(self.kernel_size)
         nd = len(ks) if isinstance(self.kernel_size, (tuple, list)) else 2
         ks = _pair(self.kernel_size, nd)
@@ -125,16 +166,29 @@ class ConvTranspose(nn.Module):
 
 
 class Norm(nn.Module):
-    """BatchNorm matching torch defaults; global stats under jit+mesh."""
+    """BatchNorm matching torch defaults; global stats under jit+mesh.
+
+    s2d=True: input is [B, H/2, W/2, 4C] in space-to-depth layout; the
+    tensor is viewed as [B, H/2, W/2, 4, C] so statistics and the [C]
+    scale/bias/mean/var variables aggregate over the phase dim too —
+    bit-compatible with full-resolution BN over [B, H, W, C]."""
+
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool):
-        return nn.BatchNorm(
+        if self.s2d:
+            b, hh, ww, cc = x.shape
+            x = x.reshape(b, hh, ww, 4, cc // 4)
+        out = nn.BatchNorm(
             use_running_average=(not train) or _BN_FROZEN,
             momentum=0.9,
             epsilon=1e-5,
             dtype=compute_dtype(),
         )(x)
+        if self.s2d:
+            out = out.reshape(b, hh, ww, cc)
+        return out
 
 
 class ZeroNorm(nn.Module):
@@ -273,24 +327,37 @@ class DeformConv2dLayer(nn.Module):
 
 class BasicBlock(nn.Module):
     """Two-conv residual block (reference nets/feature.py:42-76).
-    StereoNet flavour uses leaky relu."""
+    StereoNet flavour uses leaky relu.
+
+    s2d=True: runs both convs + norms in space-to-depth(2) layout
+    (requires stride 1 and matching channels — the refinement stacks)."""
 
     features: int
     stride: int = 1
     dilation: int = 1
     leaky: bool = True
     downsample: bool = False
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         act = leaky_relu if self.leaky else nn.relu
         identity = x
-        out = Conv(self.features, 3, self.stride, self.dilation, self.dilation)(x)
-        out = Norm()(out, train)
+        if self.s2d:
+            assert self.stride == 1 and x.shape[-1] == 4 * self.features
+        out = Conv(
+            self.features, 3, self.stride, self.dilation, self.dilation,
+            s2d=self.s2d,
+        )(x)
+        out = Norm(s2d=self.s2d)(out, train)
         out = act(out)
-        out = Conv(self.features, 3, 1, self.dilation, self.dilation)(out)
-        out = Norm()(out, train)
-        if self.downsample or self.stride != 1 or x.shape[-1] != self.features:
+        out = Conv(
+            self.features, 3, 1, self.dilation, self.dilation, s2d=self.s2d
+        )(out)
+        out = Norm(s2d=self.s2d)(out, train)
+        if not self.s2d and (
+            self.downsample or self.stride != 1 or x.shape[-1] != self.features
+        ):
             identity = Conv(self.features, 1, self.stride)(x)
             identity = Norm()(identity, train)
         return act(out + identity)

@@ -20,9 +20,20 @@ from aanet_tpu.models.layers import (
 )
 from aanet_tpu.ops.precision import compute_dtype
 from aanet_tpu.ops.resize import resize_bilinear
+from aanet_tpu.ops.s2d import depth_to_space, space_to_depth
 from aanet_tpu.ops.warp import disp_warp
 
 _DILATIONS = (1, 2, 4, 8, 1, 1)
+
+# The StereoNet/StereoDRNet heads run 3x3 convs with 16-32 channels at up
+# to full image resolution — measured 5.5 TF/s on the MXU vs 39 TF/s at
+# 128 channels (docs/PERF_r05.md). When H and W are even the whole head
+# executes in space-to-depth(2) layout (ops/s2d.py): exactly the same
+# math, 4x the channel width. Parameters are identical either way.
+
+
+def _use_s2d(img) -> bool:
+    return img.shape[1] % 2 == 0 and img.shape[2] % 2 == 0
 
 
 def _block_apply(mod, use_remat: bool, train: bool, *args):
@@ -62,18 +73,24 @@ class StereoNetRefinement(nn.Module):
     def __call__(self, low_disp, left_img, right_img=None, train: bool = False):
         assert low_disp.ndim == 3
         disp = _upsample_to_img(low_disp, left_img)
+        s2d = _use_s2d(left_img)
         x = jnp.concatenate([disp, left_img], axis=-1)
-        x = Conv(32, 3, 1, 1)(x)
-        x = Norm()(x, train)
+        if s2d:
+            x = space_to_depth(x)
+        x = Conv(32, 3, 1, 1, s2d=s2d)(x)
+        x = Norm(s2d=s2d)(x, train)
         x = leaky_relu(x)
         for d in _DILATIONS:
             x = _block_apply(
-                BasicBlock(32, dilation=d, leaky=True), self.remat, train, x
+                BasicBlock(32, dilation=d, leaky=True, s2d=s2d),
+                self.remat, train, x,
             )
-        residual = nn.Conv(
-            1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
-            dtype=compute_dtype(),
+        residual = Conv(
+            1, 3, 1, 1, use_bias=True,
+            kernel_init=nn.initializers.lecun_normal(), s2d=s2d,
         )(x)
+        if s2d:
+            residual = depth_to_space(residual)
         disp = nn.relu(disp + residual)
         return disp[..., 0]
 
@@ -90,22 +107,42 @@ class StereoDRNetRefinement(nn.Module):
         warped_right = disp_warp(right_img, disp[..., 0])[0]
         error = warped_right - left_img
 
+        s2d = _use_s2d(left_img)
         concat1 = jnp.concatenate([error, left_img], axis=-1)  # 6ch
-        conv1 = Conv(16, 3, 1, 1)(concat1)
-        conv1 = Norm()(conv1, train)
+        disp_in = disp
+        if s2d:
+            concat1 = space_to_depth(concat1)  # 24ch
+            disp_in = space_to_depth(disp)  # 4ch
+        conv1 = Conv(16, 3, 1, 1, s2d=s2d)(concat1)
+        conv1 = Norm(s2d=s2d)(conv1, train)
         conv1 = leaky_relu(conv1)
-        conv2 = Conv(16, 3, 1, 1)(disp)
-        conv2 = Norm()(conv2, train)
+        conv2 = Conv(16, 3, 1, 1, s2d=s2d)(disp_in)
+        conv2 = Norm(s2d=s2d)(conv2, train)
         conv2 = leaky_relu(conv2)
-        x = jnp.concatenate([conv1, conv2], axis=-1)  # 32ch
+        if s2d:
+            # full-res concat([a, b]) corresponds per PHASE in s2d layout:
+            # interleave so the canonical [.., 32, ..] kernels see (phase,
+            # [a;b]) channel order, same as space_to_depth of the full-res
+            # concat would produce.
+            b_, hh, ww, _ = conv1.shape
+            x = jnp.concatenate(
+                [conv1.reshape(b_, hh, ww, 4, 16),
+                 conv2.reshape(b_, hh, ww, 4, 16)],
+                axis=-1,
+            ).reshape(b_, hh, ww, 128)
+        else:
+            x = jnp.concatenate([conv1, conv2], axis=-1)  # 32ch
         for d in _DILATIONS:
             x = _block_apply(
-                BasicBlock(32, dilation=d, leaky=True), self.remat, train, x
+                BasicBlock(32, dilation=d, leaky=True, s2d=s2d),
+                self.remat, train, x,
             )
-        residual = nn.Conv(
-            1, (3, 3), padding=[(1, 1), (1, 1)], use_bias=True,
-            dtype=compute_dtype(),
+        residual = Conv(
+            1, 3, 1, 1, use_bias=True,
+            kernel_init=nn.initializers.lecun_normal(), s2d=s2d,
         )(x)
+        if s2d:
+            residual = depth_to_space(residual)
         disp = nn.relu(disp + residual)
         return disp[..., 0]
 

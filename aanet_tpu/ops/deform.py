@@ -35,16 +35,23 @@ def _out_size(size: int, k: int, stride: int, pad: int, dil: int) -> int:
 def _make_patches(x: jax.Array, g: int) -> jax.Array:
     """Precompute the 2x2 neighbour patches over a zero-padded grid.
 
-    Returns [B, (H+2)*(W+2), G, 4*Cg] where flat position (i, j) on the
-    padded grid (i = y+1, j = x+1) holds the four corners
-    [x(y,x), x(y,x+1), x(y+1,x), x(y+1,x+1)] — out-of-image corners are
-    exact zeros (the reference's zero-pad sampling,
+    Returns [B*G*(H+2)*(W+2), 4*Cg] where (for batch b, group g) flat
+    position (i, j) on the padded grid (i = y+1, j = x+1) holds the four
+    corners [x(y,x), x(y,x+1), x(y+1,x), x(y+1,x+1)] — out-of-image
+    corners are exact zeros (the reference's zero-pad sampling,
     `deform_conv_cuda_kernel.cu:85-116`).
 
     One bilinear sample then needs ONE dynamic gather of 4*Cg instead of
     four masked gathers of Cg: 4x fewer index computations, no `where`
     masks at all (the pad rows/cols carry the zeros), and the clipped
     fractional weights (see caller) handle far-outside samples for free.
+
+    The table is FLAT 2-D on purpose: on TPU, `jnp.take(table_2d, idx_1d,
+    axis=0)` lowers to a row-gather at ~1.4 ns/index, while the same
+    gather phrased as `take_along_axis` on a [B, P, G, 4Cg] operand takes
+    the generic path at ~9 ns/index — a measured 6x difference at any
+    table size (round-5 microbenchmark; the gather is index-rate-bound,
+    not bandwidth-bound).
     """
     b, h, w, c = x.shape
     cg = c // g
@@ -59,49 +66,47 @@ def _make_patches(x: jax.Array, g: int) -> jax.Array:
     patches = jnp.concatenate(
         [p.reshape(b, hp, wp, g, cg) for p in corners], axis=-1
     )
-    return patches.reshape(b, hp * wp, g, 4 * cg)
+    # [B, Hp, Wp, G, 4Cg] -> [B, G, Hp*Wp, 4Cg] -> flat rows
+    patches = patches.reshape(b, hp * wp, g, 4 * cg).transpose(0, 2, 1, 3)
+    return patches.reshape(b * g * hp * wp, 4 * cg)
 
 
-def _bilinear_gather_grouped(
-    patches: jax.Array,  # [B, (H+2)*(W+2), G, 4*Cg] from _make_patches
-    py: jax.Array,  # [B, Ho, Wo, G] float sample rows
-    px: jax.Array,  # [B, Ho, Wo, G] float sample cols
-    h: int,
-    w: int,
-) -> jax.Array:
-    """Zero-padded bilinear sample per deformable group.
+def _sample_coords(py: jax.Array, px: jax.Array, h: int, w: int, b: int,
+                   g: int):
+    """Flat-table row indices + bilinear corner weights for sample points.
 
-    Returns [B, Ho, Wo, G, Cg]. Coordinates are f32 (bf16's 8-bit mantissa
-    would quantise positions by ~1px at W~1000); values stay in the
-    compute dtype.
+    py/px: [B, Ho, Wo, G, K2] f32 coordinates (coordinates are ALWAYS f32
+    — bf16's 8-bit mantissa would quantise positions by ~1px at W~1000).
+    Returns (idx int32 same shape, cw [..., 4] f32).
+
+    Clamp the anchor into the padded grid and the fractional weights to
+    [0, 1]: inside the image this is exact; far-outside samples either
+    land on all-zero pad rows (py > h) or get zero weight (py < -1).
     """
-    b, ho, wo, g = py.shape
-    cg = patches.shape[-1] // 4
-    vdtype = patches.dtype
-
-    # Clamp the anchor into the padded grid and the fractional weights to
-    # [0, 1]: inside the image this is exact; far-outside samples either
-    # land on all-zero pad rows (py > h) or get zero weight (py < -1).
     y0 = jnp.clip(jnp.floor(py), -1.0, float(h))
     x0 = jnp.clip(jnp.floor(px), -1.0, float(w))
-    ty = jnp.clip(py - y0, 0.0, 1.0).astype(vdtype)
-    tx = jnp.clip(px - x0, 0.0, 1.0).astype(vdtype)
+    ty = jnp.clip(py - y0, 0.0, 1.0)
+    tx = jnp.clip(px - x0, 0.0, 1.0)
 
-    wp = w + 2
+    hp, wp = h + 2, w + 2
     idx = ((y0 + 1.0) * wp + (x0 + 1.0)).astype(jnp.int32)
-    vals = jnp.take_along_axis(
-        patches, idx.reshape(b, ho * wo, g, 1), axis=1
-    ).reshape(b, ho, wo, g, 4, cg)
-
-    # Explicit 4-corner fused multiply-add, NOT an einsum: a k=4
-    # dot-general takes a slow non-MXU path (measured: bf16 aggregation
-    # 0.66 ms vs 0.45 ms f32 in round 3, docs/PERF_r03.md); elementwise
-    # FMAs fuse on the VPU in any dtype. ty/tx are already in vdtype.
-    ty = ty[..., None]
-    tx = tx[..., None]
-    top = vals[..., 0, :] + tx * (vals[..., 1, :] - vals[..., 0, :])
-    bot = vals[..., 2, :] + tx * (vals[..., 3, :] - vals[..., 2, :])
-    return top + ty * (bot - top)
+    # Per-(batch, group) row offset into the flat table; index order
+    # (b, ho, wo, g, k) matches the gather-output layout so no transpose
+    # is needed after the gather.
+    base = (
+        jnp.arange(b, dtype=jnp.int32)[:, None, None, None, None] * g
+        + jnp.arange(g, dtype=jnp.int32)[None, None, None, :, None]
+    ) * (hp * wp)
+    cw = jnp.stack(
+        [
+            (1.0 - ty) * (1.0 - tx),
+            (1.0 - ty) * tx,
+            ty * (1.0 - tx),
+            ty * tx,
+        ],
+        axis=-1,
+    )  # [B, Ho, Wo, G, K2, 4]
+    return idx + base, cw
 
 
 def modulated_deform_conv2d(
@@ -147,21 +152,66 @@ def modulated_deform_conv2d(
 
     base_y = (jnp.arange(ho, dtype=jnp.float32) * stride - padding)[:, None]
     base_x = (jnp.arange(wo, dtype=jnp.float32) * stride - padding)[None, :]
+    ky = (jnp.arange(kh, dtype=jnp.float32) * dilation).repeat(kw)
+    kx = jnp.tile(jnp.arange(kw, dtype=jnp.float32) * dilation, kh)
+    py = base_y[None, :, :, None, None] + ky + offset[..., 0]  # [B,Ho,Wo,G,K2]
+    px = base_x[None, :, :, None, None] + kx + offset[..., 1]
+    idx, cw = _sample_coords(py, px, h, w, b, g)
+    if mask is not None:
+        cw = cw * mask[..., None].astype(jnp.float32)
+    cw = cw.astype(vdtype)
 
+    # Flat row-gathers (958k 512-byte rows at the flagship's scale-0 ISA
+    # shape — index-rate bound at ~3.5 ns/row; the same gather phrased
+    # as take_along_axis on a 4-D operand costs ~9 ns/row). The bilinear
+    # blend and modulation ride INSIDE the matmul: rows are scaled by
+    # lane-replicated corner weights and contracted over 4*Cg(*taps) —
+    # the gathered rows are never split along the lane dim (a (4, Cg)
+    # reshape + corner slicing costs a full cross-lane relayout,
+    # measured +15 ms per conv).
+    #
+    # One gather for ALL taps + one K=K2*4*Cg contraction is fastest at
+    # inference scale (9.2 vs 10.2 ms at scale-0), but it materializes
+    # a [B, Ho, Wo, G, K2, 4*Cg] tensor — multi-GB at training batches
+    # or full-resolution deform layers (AANet+ hourglass refinement),
+    # which blows HBM traffic and crashes the remote compile helper.
+    # Above a byte cap, stream per tap instead (9 gathers, 9 K=4*Cg
+    # contractions, one-ninth the live memory).
     patches = _make_patches(x, g)
-    w_taps = weight.reshape(k2, g, cg, cout).astype(vdtype)
+    w_taps = jnp.tile(
+        weight.reshape(1, k2, g, cg, cout), (4, 1, 1, 1, 1)
+    ).transpose(1, 2, 0, 3, 4).reshape(k2, g, 4 * cg, cout).astype(vdtype)
 
-    out = jnp.zeros((b, ho, wo, cout), dtype=jnp.float32)
-    for k in range(k2):
-        ki, kj = divmod(k, kw)
-        py = base_y[None, :, :, None] + ki * dilation + offset[..., k, 0]
-        px = base_x[None, :, :, None] + kj * dilation + offset[..., k, 1]
-        val = _bilinear_gather_grouped(patches, py, px, h, w)  # [B,Ho,Wo,G,Cg]
-        if mask is not None:
-            val = val * mask[..., k, None]
-        out = out + jnp.einsum(
-            "bhwgc,gcf->bhwf", val, w_taps[k], preferred_element_type=jnp.float32
+    vals_bytes = b * ho * wo * g * k2 * 4 * cg * jnp.dtype(vdtype).itemsize
+    if vals_bytes <= 512 * 1024 * 1024:
+        vals = jnp.take(patches, idx.reshape(-1), axis=0).reshape(
+            b, ho, wo, g, k2, 4 * cg
         )
+        cwx = jnp.broadcast_to(cw[..., None], (*cw.shape, cg)).reshape(
+            b, ho, wo, g, k2, 4 * cg
+        )
+        out = jnp.einsum(
+            "bhwgkz,kgzf->bhwf",
+            vals * cwx,
+            w_taps,
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        out = jnp.zeros((b, ho, wo, cout), jnp.float32)
+        for k in range(k2):
+            vals = jnp.take(
+                patches, idx[..., k].reshape(-1), axis=0
+            ).reshape(b, ho, wo, g, 4 * cg)
+            cwk = cw[..., k, :]
+            cwx = jnp.broadcast_to(cwk[..., None], (*cwk.shape, cg)).reshape(
+                b, ho, wo, g, 4 * cg
+            )
+            out = out + jnp.einsum(
+                "bhwgz,gzf->bhwf",
+                vals * cwx,
+                w_taps[k],
+                preferred_element_type=jnp.float32,
+            )
     if bias is not None:
         out = out + bias.astype(jnp.float32)
     return out.astype(vdtype)

@@ -61,7 +61,11 @@ def shard_images(batch: dict, mesh: Mesh) -> dict:
     for k, v in batch.items():
         if not hasattr(v, "shape"):
             out[k] = v
-        elif getattr(v, "ndim", 0) == 4 and v.shape[2] % mesh.shape["model"] == 0:
+        elif (
+            getattr(v, "ndim", 0) == 4
+            and v.shape[2] % mesh.shape["model"] == 0
+            and v.shape[0] % data_size == 0
+        ):
             out[k] = jax.device_put(v, img)
         elif getattr(v, "ndim", 0) >= 1 and v.shape[0] % data_size == 0:
             out[k] = jax.device_put(v, dp)

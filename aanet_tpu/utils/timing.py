@@ -46,11 +46,20 @@ def _tree_perturb(args, eps):
 
 
 def _first_scalar(out):
+    """Collapse the workload output to one scalar for the scan carry.
+
+    Uses a MEAN over every float leaf, not an element extract: slicing a
+    single element lets XLA propagate the slice back through elementwise
+    producers (and even shrink a gather to one index), silently deleting
+    the work being timed — a reduction forces every element to exist."""
     leaves = [
         l for l in jax.tree_util.tree_leaves(out)
         if isinstance(l, jax.Array) and jnp.issubdtype(l.dtype, jnp.floating)
     ]
-    return leaves[0].ravel()[0].astype(jnp.float32)
+    total = jnp.float32(0.0)
+    for l in leaves:
+        total = total + jnp.mean(l.astype(jnp.float32))
+    return total
 
 
 def make_scan_runner(fn: Callable, n_iters: int) -> Callable:

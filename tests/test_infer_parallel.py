@@ -98,3 +98,27 @@ def test_data_parallel_rejects_combined_model_parallel(fixture_dataset, tmp_path
 
     with pytest.raises(ValueError, match="pick one"):
         build_forward(None, None, model_parallel=2, data_parallel=2)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 4, reason="needs 4 virtual devices")
+def test_data_parallel_predict_matches_single_device(fixture_dataset, tmp_path):
+    """predict_pairs with data_parallel (VERDICT r4 item 7): chunked,
+    ragged-padded batching must produce files identical to the
+    one-pair-at-a-time run."""
+    from aanet_tpu.infer import predict_pairs
+
+    data_dir, lists = fixture_dataset
+    cfg = _cfg(data_dir, lists)
+    out1 = str(tmp_path / "pred_single")
+    outN = str(tmp_path / "pred_dp")
+    predict_pairs(cfg, data_dir, output_dir=out1, save_type="pfm")
+    # 6 pairs / data_parallel=4 => one full chunk + a ragged chunk of 2
+    predict_pairs(cfg, data_dir, output_dir=outN, save_type="pfm",
+                  data_parallel=4)
+
+    names = sorted(f for f in os.listdir(out1) if f.endswith(".pfm"))
+    assert len(names) == 6, names
+    for n in names:
+        a = read_disp(os.path.join(out1, n))
+        b = read_disp(os.path.join(outN, n))
+        np.testing.assert_allclose(a, b, atol=1e-3, err_msg=n)
