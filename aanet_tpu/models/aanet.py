@@ -108,6 +108,7 @@ class AANet(nn.Module):
                 mdconv_dilation=self.mdconv_dilation,
                 deformable_groups=self.deformable_groups,
                 intermediate_supervision=not self.no_intermediate_supervision,
+                remat=self.remat,
             )
         elif at == "psmnet_basic":
             self.aggregation = A.PSMNetBasicAggregation(max_disp=d)

@@ -104,6 +104,12 @@ class AdaptiveAggregation(nn.Module):
     intermediate_supervision: bool = True
     deformable_groups: int = 2
     mdconv_dilation: int = 2
+    # Per-AAModule rematerialisation inside the (already-rematted)
+    # aggregation stage: the deformable ISA backward otherwise keeps the
+    # per-tap gathered rows of ALL 6 fusion modules live at once — at
+    # batch 16 288x576 that is 19+ f32[16,96,192,2,128] (288 MB) temps
+    # and the step OOMs the v5e's 16 GB HBM (round-5 b16 probe).
+    remat: bool = False
 
     @nn.compact
     def __call__(self, cost_volume: List[jnp.ndarray], train: bool = False):
@@ -115,7 +121,7 @@ class AdaptiveAggregation(nn.Module):
             else:
                 num_out = 1 if i == self.num_fusions - 1 else self.num_scales
             simple = i < self.num_fusions - self.num_deform_blocks
-            x = AdaptiveAggregationModule(
+            mod = AdaptiveAggregationModule(
                 num_scales=self.num_scales,
                 num_output_branches=num_out,
                 max_disp=self.max_disp,
@@ -124,7 +130,11 @@ class AdaptiveAggregation(nn.Module):
                 deformable_groups=self.deformable_groups,
                 mdconv_dilation=self.mdconv_dilation,
                 name=f"fusion_{i}",
-            )(x, train)
+            )
+            if self.remat and train:
+                x = nn.remat(lambda m, v: m(v, True))(mod, x)
+            else:
+                x = mod(x, train)
 
         out = []
         for i in range(self.num_scales):

@@ -177,6 +177,12 @@ def modulated_deform_conv2d(
     # which blows HBM traffic and crashes the remote compile helper.
     # Above a byte cap, stream per tap instead (9 gathers, 9 K=4*Cg
     # contractions, one-ninth the live memory).
+    # The contraction runs at HIGHEST precision: the bilinear corner
+    # weights ride inside it, and default (bf16-input) MXU rounding of
+    # the weighted rows quantises sub-pixel sampling — the offset-conv
+    # gradients come back through this product, and 8-bit-mantissa noise
+    # there visibly degrades deformable-offset learning. For bf16
+    # compute the inputs are already bf16, so this only affects f32.
     patches = _make_patches(x, g)
     w_taps = jnp.tile(
         weight.reshape(1, k2, g, cg, cout), (4, 1, 1, 1, 1)
@@ -195,6 +201,7 @@ def modulated_deform_conv2d(
             vals * cwx,
             w_taps,
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )
     else:
         out = jnp.zeros((b, ho, wo, cout), jnp.float32)
@@ -211,6 +218,7 @@ def modulated_deform_conv2d(
                 vals * cwx,
                 w_taps[k],
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
             )
     if bias is not None:
         out = out + bias.astype(jnp.float32)

@@ -50,7 +50,6 @@ def test_bf16_delta_at_trained_weights(tmp_path):
             {
                 "params": jax.device_get(variables["params"]),
                 "batch_stats": jax.device_get(variables["batch_stats"]),
-                "meta": {},
             },
             f.read(),
         )

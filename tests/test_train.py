@@ -265,7 +265,10 @@ def test_freeze_bn_keeps_stats_and_remat_active():
     )
     batch = _synthetic_batch(batch=2, h=48, w=96)
 
-    # 1) the frozen-BN training forward equals the eval forward exactly
+    # 1) the frozen-BN training forward equals the eval forward (up to
+    # float associativity: the eval path runs feature extraction once on
+    # the two views stacked on the batch axis — same math, different
+    # summation order, so tolerance is loose-ulp rather than exact)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     out_frozen = model.apply(
         variables, batch["left"], batch["right"], train=True, freeze_bn=True
@@ -274,7 +277,7 @@ def test_freeze_bn_keeps_stats_and_remat_active():
         variables, batch["left"], batch["right"], train=False
     )
     for a, b in zip(out_frozen, out_eval):
-        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
 
     # 2) the jaxpr of the frozen-BN TRAINING trace still contains remat
     jaxpr = jax.make_jaxpr(

@@ -85,24 +85,29 @@ def main():
 
     step = make_train_step(model, max_disp=max_disp, accumulation_steps=accum)
 
+    # Execution-forcing protocol (docs/PERF_r05.md §1): K steps chained
+    # through the TrainState (training is inherently sequential) + ONE
+    # metric readback; `block_until_ready` does not force execution on
+    # this backend and the old loop here measured dispatch time.
+    from aanet_tpu.utils.timing import measure_rtt
+
     t0 = time.time()
     state, metrics = step(state, data)
-    jax.block_until_ready(metrics)
+    float(jax.device_get(metrics["total_loss"]))
     print(f"compile+first step: {time.time() - t0:.1f}s")
 
-    for _ in range(3):
-        state, metrics = step(state, data)
-    jax.block_until_ready(metrics)
-
-    iters = 20
+    # ONE timed window: the step donates its input state, so a second
+    # window would reuse donated buffers.
+    iters = 6
+    rtt = measure_rtt()
     t0 = time.perf_counter()
     for _ in range(iters):
         state, metrics = step(state, data)
-    jax.block_until_ready(metrics)
-    dt = (time.perf_counter() - t0) / iters
+    float(jax.device_get(metrics["total_loss"]))  # forces the chain
+    dt = max(time.perf_counter() - t0 - rtt, 1e-9) / iters
     print(
         f"train step: {dt * 1000:.1f} ms  ->  {batch / dt:.1f} samples/s "
-        f"(reference recipe: ~40 samples/s on 4x V100)"
+        f"(reference recipe: ~40 samples/s on 4x V100-32G)"
     )
 
 
