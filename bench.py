@@ -352,8 +352,11 @@ def main():
         ("aanet+_bf16", lambda: _variant("aanet+", "bfloat16")),
         ("batched_b4", lambda: bench_batched(variables, extra)),
         ("sceneflow_576x960", lambda: bench_sceneflow(variables, extra)),
-        ("train_step", lambda: bench_train_step(extra)),
         ("bf16_delta", _deltas),
+        # last: the batch-16 attempt burns minutes in a deterministic
+        # remote-compile OOM (root-caused in docs/PERF_r05.md) before
+        # falling back to 8
+        ("train_step", lambda: bench_train_step(extra)),
     ]
     for section_name, run in sections:
         if _elapsed() > BUDGET_S:
