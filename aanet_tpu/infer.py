@@ -66,8 +66,8 @@ def build_forward(model, variables, model_parallel: int = 1, data_parallel: int 
         # crash in device_put whenever n_devices > model_parallel.
         from aanet_tpu.parallel.mesh import make_mesh
         from aanet_tpu.parallel.spatial import (
-            image_sharding,
             make_spatial_forward,
+            shard_images,
         )
 
         n = len(jax.devices())
@@ -82,7 +82,6 @@ def build_forward(model, variables, model_parallel: int = 1, data_parallel: int 
             devices=jax.devices()[:model_parallel],
         )
         sfwd = make_spatial_forward(model, mesh)
-        sh = image_sharding(mesh)
 
         def forward(left, right):
             if left.shape[2] % model_parallel:
@@ -91,11 +90,8 @@ def build_forward(model, variables, model_parallel: int = 1, data_parallel: int 
                     f"by --model_parallel {model_parallel}; pick an "
                     f"img_width that is a multiple of it"
                 )
-            return sfwd(
-                variables,
-                jax.device_put(left, sh),
-                jax.device_put(right, sh),
-            )[-1]
+            sharded = shard_images({"left": left, "right": right}, mesh)
+            return sfwd(variables, sharded["left"], sharded["right"])[-1]
 
         return forward
 
