@@ -47,11 +47,11 @@ def _make_patches(x: jax.Array, g: int) -> jax.Array:
     fractional weights (see caller) handle far-outside samples for free.
 
     The table is FLAT 2-D on purpose: on TPU, `jnp.take(table_2d, idx_1d,
-    axis=0)` lowers to a row-gather at ~1.4 ns/index, while the same
+    axis=0)` lowers to a row-gather at ~2.4-3.5 ns/index, while the same
     gather phrased as `take_along_axis` on a [B, P, G, 4Cg] operand takes
-    the generic path at ~9 ns/index — a measured 6x difference at any
-    table size (round-5 microbenchmark; the gather is index-rate-bound,
-    not bandwidth-bound).
+    the generic path at ~9 ns/index — a measured ~3x difference at any
+    table size (round-5 microbenchmark with reduction-forced consumers;
+    the gather is index-rate-bound, not bandwidth-bound).
     """
     b, h, w, c = x.shape
     cg = c // g
